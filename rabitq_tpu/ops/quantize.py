@@ -1,0 +1,242 @@
+"""RaBitQ residual quantization, fully vectorized for TPU.
+
+Re-implements the math of the reference quantizer
+(lqhl/rabitq-rs ``src/quantizer.rs``) as batched jnp ops over ``[N, D]``
+residual blocks — every per-vector quantity in the reference becomes a
+row-wise reduction here, so the whole encode step is a handful of fused
+VPU passes plus matmuls, with no per-vector Python.
+
+Produced per row (names follow ``QuantizedVector``, ``quantizer.rs:63-88``):
+
+* ``binary``   — sign bits of the residual (``quantizer.rs:152-157``)
+* ``ex``       — ex_bits magnitude code (``quantizer.rs:310-473``)
+* ``delta, vl``— reconstruction params (``quantizer.rs:170-187``)
+* ``f_add, f_rescale, f_error`` — 1-bit correction factors
+  (``compute_one_bit_factors``, ``quantizer.rs:264-308``)
+* ``f_add_ex, f_rescale_ex`` — extended factors
+  (``compute_extended_factors``, ``quantizer.rs:475-535``)
+
+The per-vector optimal rescale factor ``t`` is found either with the
+reference's constant-t mode (``faster_config``, ``quantizer.rs:563-592``) or
+with a dense grid search over the same ``[t_start, t_end)`` interval the
+reference's heap-driven event sweep enumerates (``best_rescale_factor``,
+``quantizer.rs:337-427``). The event sweep is inherently sequential per
+vector; the grid search evaluates the identical objective
+``J(t) = sum((c+.5)o) / sqrt(d/4 + sum(c^2+c))`` at G candidate points in
+parallel, which maps onto the hardware and is strictly more accurate than
+the reference's own "faster" constant-t mode (<1% recall impact per
+``quantizer.rs:553-555``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..types import Metric
+
+# Constants from quantizer.rs:8-11.
+K_TIGHT_START = (0.0, 0.15, 0.20, 0.52, 0.59, 0.71, 0.75, 0.77, 0.81)
+K_EPS = 1e-5
+K_NENUM = 10.0
+K_CONST_EPSILON = 1.9  # error-bound epsilon (quantizer.rs:11, used at :288)
+
+F32_EPS = float(np.finfo(np.float32).eps)
+
+
+class QuantizedBatch(NamedTuple):
+    """Quantized codes + correction factors for a block of N vectors."""
+
+    binary: jax.Array  # [N, D] int8 in {0, 1}
+    ex: jax.Array  # [N, D] int32 in [0, 2^ex_bits - 1]
+    delta: jax.Array  # [N] f32
+    vl: jax.Array  # [N] f32
+    f_add: jax.Array  # [N] f32
+    f_rescale: jax.Array  # [N] f32
+    f_error: jax.Array  # [N] f32
+    f_add_ex: jax.Array  # [N] f32
+    f_rescale_ex: jax.Array  # [N] f32
+    residual_norm: jax.Array  # [N] f32
+
+
+def grid_best_t(o_abs: jax.Array, ex_bits: int, grid: int = 128) -> jax.Array:
+    """Per-row rescale factor by dense grid search.
+
+    ``o_abs``: [N, D] normalized |residual| rows. Returns [N] t values.
+    Searches the same interval as ``best_rescale_factor``
+    (``quantizer.rs:337-358``): t_end = (2^ex - 1 + 10) / max_o,
+    t_start = t_end * K_TIGHT_START[ex_bits].
+    """
+    max_val = (1 << ex_bits) - 1
+    d = o_abs.shape[-1]
+    max_o = jnp.max(o_abs, axis=-1)  # [N]
+    safe_max_o = jnp.maximum(max_o, F32_EPS)
+    t_end = (max_val + K_NENUM) / safe_max_o
+    t_start = t_end * K_TIGHT_START[min(ex_bits, len(K_TIGHT_START) - 1)]
+    # G candidate points in [t_start, t_end).
+    frac = jnp.arange(grid, dtype=jnp.float32) / grid  # [G]
+    ts = t_start[:, None] + (t_end - t_start)[:, None] * frac[None, :]  # [N, G]
+    # J(t) for every candidate: codes c = floor(t*o + K_EPS) clipped.
+    c = jnp.floor(ts[:, :, None] * o_abs[:, None, :] + K_EPS)  # [N, G, D]
+    c = jnp.clip(c, 0.0, float(max_val))
+    numerator = jnp.sum((c + 0.5) * o_abs[:, None, :], axis=-1)  # [N, G]
+    sqr_denom = 0.25 * d + jnp.sum(c * c + c, axis=-1)  # [N, G]
+    objective = numerator / jnp.sqrt(sqr_denom)
+    best = jnp.take_along_axis(ts, jnp.argmax(objective, axis=-1)[:, None], axis=1)[:, 0]
+    return jnp.where(max_o <= F32_EPS, 1.0, best)
+
+
+def compute_const_scaling_factor(dim: int, ex_bits: int, seed: int, grid: int = 1024) -> float:
+    """Average optimal t over 100 random Gaussian directions
+    (``compute_const_scaling_factor``, ``quantizer.rs:563-592``)."""
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((100, dim)).astype(np.float32)
+    norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+    o_abs = np.abs(vecs / np.maximum(norms, F32_EPS))
+    ts = grid_best_t(jnp.asarray(o_abs), ex_bits, grid=grid)
+    return float(jnp.mean(ts))
+
+
+def _ex_code_with_inv(
+    residual: jax.Array, ex_bits: int, t: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Quantize magnitudes to ex codes; returns (ex [N,D] int32, ipnorm_inv [N]).
+
+    Mirrors ``quantize_ex_with_inv`` (``quantizer.rs:429-473``): codes from
+    the normalized |residual| with per-row t, then complement where the
+    residual is negative.
+    """
+    max_val = (1 << ex_bits) - 1
+    o_abs = jnp.abs(residual)
+    norm = jnp.sqrt(jnp.sum(o_abs * o_abs, axis=-1, keepdims=True))  # [N,1]
+    degenerate = norm[:, 0] <= F32_EPS  # [N]
+    o = o_abs / jnp.maximum(norm, F32_EPS)
+    cur = jnp.floor(t[:, None] * o + K_EPS)
+    cur = jnp.clip(cur, 0.0, float(max_val))
+    ipnorm = jnp.sum((cur + 0.5) * o, axis=-1)  # [N]
+    ipnorm_inv = jnp.where(
+        jnp.isfinite(ipnorm) & (ipnorm > 0.0), 1.0 / ipnorm, 1.0
+    )
+    code = jnp.where(residual < 0.0, max_val - cur, cur)  # (~c)&mask == max-c
+    code = jnp.where(degenerate[:, None], 0.0, code)
+    ipnorm_inv = jnp.where(degenerate, 1.0, ipnorm_inv)
+    return code.astype(jnp.int32), ipnorm_inv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ex_bits", "metric", "use_t_const", "grid")
+)
+def quantize_block(
+    rotated_data: jax.Array,  # [N, D] rows in rotated space
+    centroids: jax.Array,  # [N, D] per-row centroid (gathered) in rotated space
+    ex_bits: int,
+    metric: Metric,
+    t_const: jax.Array | float = 1.0,
+    use_t_const: bool = False,
+    grid: int = 128,
+) -> QuantizedBatch:
+    """Quantize a block of vectors against their centroids.
+
+    Semantics of ``quantize_with_centroid`` (``quantizer.rs:140-262``),
+    vectorized over rows.
+    """
+    data = jnp.asarray(rotated_data, jnp.float32)
+    cent = jnp.asarray(centroids, jnp.float32)
+    n, d = data.shape
+    residual = data - cent
+    binary_f = (residual >= 0.0).astype(jnp.float32)  # [N, D]
+
+    if ex_bits > 0:
+        if use_t_const:
+            t = jnp.full((n,), t_const, jnp.float32)
+        else:
+            o_abs = jnp.abs(residual)
+            rnorm = jnp.sqrt(jnp.sum(o_abs * o_abs, axis=-1, keepdims=True))
+            o = o_abs / jnp.maximum(rnorm, F32_EPS)
+            t = grid_best_t(o, ex_bits, grid=grid)
+        ex_code, ipnorm_inv = _ex_code_with_inv(residual, ex_bits, t)
+    else:
+        ex_code = jnp.zeros((n, d), jnp.int32)
+        ipnorm_inv = jnp.ones((n,), jnp.float32)
+
+    ex_f = ex_code.astype(jnp.float32)
+    total_code = ex_f + binary_f * float(1 << ex_bits)
+    cb = -((1 << ex_bits) - 0.5)
+
+    # delta / vl (quantizer.rs:170-187)
+    xu_total = total_code + cb  # quantized_shifted
+    norm_quan_sqr = jnp.sum(xu_total * xu_total, axis=-1)
+    dot_resid_quant = jnp.sum(residual * xu_total, axis=-1)
+    norm_resid_sqr = jnp.sum(residual * residual, axis=-1)
+    norm_resid = jnp.sqrt(norm_resid_sqr)
+    norm_quant = jnp.sqrt(norm_quan_sqr)
+    denom_dq = jnp.maximum(norm_resid * norm_quant, F32_EPS)
+    cos_sim = jnp.clip(dot_resid_quant / denom_dq, -1.0, 1.0)
+    delta = jnp.where(
+        norm_quant <= F32_EPS, 0.0, (norm_resid / jnp.maximum(norm_quant, F32_EPS)) * cos_sim
+    )
+    vl = delta * cb
+
+    # one-bit factors (quantizer.rs:264-308)
+    xu1 = binary_f - 0.5
+    xu1_norm_sqr = jnp.sum(xu1 * xu1, axis=-1)
+    ip_resi_xu1 = jnp.sum(residual * xu1, axis=-1)
+    ip_cent_xu1 = jnp.sum(cent * xu1, axis=-1)
+    dot_resid_cent = jnp.sum(residual * cent, axis=-1)
+    denom1 = jnp.where(jnp.abs(ip_resi_xu1) <= F32_EPS, jnp.inf, ip_resi_xu1)
+    tmp_error1 = jnp.zeros_like(norm_resid)
+    if d > 1:
+        ratio1 = (norm_resid_sqr * xu1_norm_sqr) / (denom1 * denom1) - 1.0
+        tmp_error1 = jnp.where(
+            jnp.isfinite(ratio1) & (ratio1 > 0.0),
+            norm_resid * K_CONST_EPSILON * jnp.sqrt(jnp.maximum(ratio1 / (d - 1), 0.0)),
+            0.0,
+        )
+    if metric is Metric.L2:
+        f_add = norm_resid_sqr + 2.0 * norm_resid_sqr * ip_cent_xu1 / denom1
+        f_rescale = -2.0 * norm_resid_sqr / denom1
+        f_error = 2.0 * tmp_error1
+    else:
+        f_add = 1.0 - dot_resid_cent + norm_resid_sqr * ip_cent_xu1 / denom1
+        f_rescale = -norm_resid_sqr / denom1
+        f_error = tmp_error1
+
+    # extended factors (quantizer.rs:475-535)
+    if ex_bits > 0:
+        ip_resi_xu = dot_resid_quant  # same xu_total
+        ip_cent_xu = jnp.sum(cent * xu_total, axis=-1)
+        safe_denom = jnp.where(jnp.abs(ip_resi_xu) <= F32_EPS, jnp.inf, ip_resi_xu)
+        if metric is Metric.L2:
+            f_add_ex = norm_resid_sqr + 2.0 * norm_resid_sqr * ip_cent_xu / safe_denom
+            f_rescale_ex = -2.0 * norm_resid * ipnorm_inv
+        else:
+            f_add_ex = 1.0 - dot_resid_cent + norm_resid_sqr * ip_cent_xu / safe_denom
+            f_rescale_ex = -norm_resid * ipnorm_inv
+    else:
+        f_add_ex = jnp.zeros_like(f_add)
+        f_rescale_ex = jnp.zeros_like(f_rescale)
+
+    return QuantizedBatch(
+        binary=binary_f.astype(jnp.int8),
+        ex=ex_code,
+        delta=delta,
+        vl=vl,
+        f_add=f_add,
+        f_rescale=f_rescale,
+        f_error=f_error,
+        f_add_ex=f_add_ex,
+        f_rescale_ex=f_rescale_ex,
+        residual_norm=norm_resid,
+    )
+
+
+def reconstruct(
+    centroid: jax.Array, total_code: jax.Array, delta: jax.Array, vl: jax.Array
+) -> jax.Array:
+    """Reconstruct rows in rotated space (``reconstruct_into``,
+    ``quantizer.rs:542-548``): centroid + delta * code + vl."""
+    return centroid + delta[..., None] * total_code.astype(jnp.float32) + vl[..., None]

@@ -1,0 +1,88 @@
+"""Common public types.
+
+Mirrors the reference API surface: ``Metric`` (``src/lib.rs:32-37``),
+``RotatorType`` (``src/rotation.rs:10-15``), ``SearchParams``
+(``src/ivf.rs:22-26``).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+
+class Metric(enum.Enum):
+    """Distance metric. L2 = squared Euclidean; InnerProduct = max similarity."""
+
+    L2 = "l2"
+    InnerProduct = "ip"
+
+    @staticmethod
+    def from_str(s: "str | Metric") -> "Metric":
+        if isinstance(s, Metric):
+            return s
+        s = s.lower().replace("-", "_")
+        if s in ("l2", "euclidean", "angular_l2"):
+            return Metric.L2
+        if s in ("ip", "innerproduct", "inner_product", "dot", "angular"):
+            return Metric.InnerProduct
+        raise ValueError(f"unknown metric: {s}")
+
+    def to_tag(self) -> int:
+        """Persistence tag (reference ``ivf.rs:122-127``)."""
+        return 0 if self is Metric.L2 else 1
+
+    @staticmethod
+    def from_tag(tag: int) -> "Metric":
+        if tag == 0:
+            return Metric.L2
+        if tag == 1:
+            return Metric.InnerProduct
+        raise ValueError(f"unknown metric tag: {tag}")
+
+
+class RotatorType(enum.IntEnum):
+    """Rotator selection; values match the persistence tags
+    (reference ``rotation.rs:10-15``)."""
+
+    MatrixRotator = 0
+    FhtKacRotator = 1
+
+    def padding_requirement(self, dim: int) -> int:
+        """Padded dimension required by this rotator
+        (reference ``rotation.rs:27-33``)."""
+        if self is RotatorType.MatrixRotator:
+            return dim
+        return ((dim + 63) // 64) * 64
+
+
+@dataclass(frozen=True)
+class SearchParams:
+    """IVF search parameters (reference ``ivf.rs:22-26``), plus TPU-specific
+    re-rank budget.
+
+    ``rerank`` is the fixed-size survivor set that replaces the reference's
+    data-dependent heap pruning (``ivf.rs:2045-2057``): the scan estimates a
+    1-bit lower bound for every probed candidate, keeps the best ``rerank``
+    of them, and re-scores those exactly with the extended codes. ``None``
+    picks ``max(4 * top_k, 400)`` — the CPU reference effectively
+    re-ranks every candidate that beats the evolving heap bound, and recall
+    is insensitive to the budget beyond a few hundred survivors.
+    """
+
+    top_k: int
+    nprobe: int
+    rerank: int | None = None
+
+    def resolved_rerank(self) -> int:
+        if self.rerank is not None:
+            return max(self.rerank, self.top_k)
+        return max(4 * self.top_k, 400)
+
+
+@dataclass(frozen=True)
+class SearchResult:
+    """One search hit (reference ``ivf.rs:144-148``)."""
+
+    id: int
+    score: float

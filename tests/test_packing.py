@@ -1,0 +1,130 @@
+"""Bit-packing codec tests: exhaustive round-trips plus scalar oracles
+re-derived from the reference algorithms (simd.rs:141-223, 2406-2695,
+864-960)."""
+
+import numpy as np
+import pytest
+
+from rabitq_tpu.ops import packing
+
+
+def test_binary_roundtrip(rng):
+    bits = (rng.random((7, 128)) < 0.5).astype(np.uint8)
+    packed = packing.pack_binary(bits)
+    assert packed.shape == (7, 16)
+    np.testing.assert_array_equal(packing.unpack_binary(packed, 128), bits)
+
+
+def test_binary_msb_first():
+    # dim 0 goes to the MSB (simd.rs:141-150)
+    bits = np.zeros((1, 8), np.uint8)
+    bits[0, 0] = 1
+    assert packing.pack_binary(bits)[0, 0] == 0x80
+
+
+@pytest.mark.parametrize("ex_bits", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_generic_ex_roundtrip(ex_bits, rng):
+    dim = 96
+    ex = rng.integers(0, 1 << ex_bits, size=(5, dim)).astype(np.uint16)
+    packed = packing.pack_ex_generic(ex, ex_bits)
+    assert packed.shape[-1] == (dim * ex_bits + 7) // 8
+    np.testing.assert_array_equal(
+        packing.unpack_ex_generic(packed, dim, ex_bits), ex
+    )
+
+
+def _pack_2bit_scalar(ex):
+    """Scalar oracle for the 2-bit cpp layout (simd.rs:2478-2541)."""
+    dim = ex.shape[-1]
+    out = np.zeros(dim // 16 * 4, np.uint8)
+    for g in range(dim // 16):
+        codes = [int(c) & 3 for c in ex[g * 16 : (g + 1) * 16]]
+        compact = 0
+        for grp in range(4):  # code group: codes[4*grp + j] in byte j bits 2*grp
+            for j in range(4):
+                compact |= (codes[4 * grp + j] << (2 * grp)) << (8 * j)
+        out[g * 4 : (g + 1) * 4] = list(compact.to_bytes(4, "little"))
+    return out
+
+
+def _pack_6bit_scalar(ex):
+    """Scalar oracle for the 6-bit cpp layout (simd.rs:2601-2695)."""
+    dim = ex.shape[-1]
+    out = np.zeros(dim // 16 * 12, np.uint8)
+    for g in range(dim // 16):
+        codes = [int(c) & 0x3F for c in ex[g * 16 : (g + 1) * 16]]
+        base = g * 12
+        for i in range(8):
+            out[base + i] = (codes[i] & 0xF) | ((codes[8 + i] & 0xF) << 4)
+        for j in range(4):
+            b = 0
+            for grp in range(4):
+                b |= ((codes[4 * grp + j] >> 4) & 3) << (2 * grp)
+            out[base + 8 + j] = b
+    return out
+
+
+def test_2bit_cpp_matches_scalar_and_roundtrips(rng):
+    dim = 64
+    ex = rng.integers(0, 4, size=(3, dim)).astype(np.uint16)
+    packed = packing.pack_ex_2bit_cpp(ex)
+    for r in range(3):
+        np.testing.assert_array_equal(packed[r], _pack_2bit_scalar(ex[r]))
+    np.testing.assert_array_equal(packing.unpack_ex_2bit_cpp(packed, dim), ex)
+
+
+def test_6bit_cpp_matches_scalar_and_roundtrips(rng):
+    dim = 96
+    ex = rng.integers(0, 64, size=(3, dim)).astype(np.uint16)
+    packed = packing.pack_ex_6bit_cpp(ex)
+    for r in range(3):
+        np.testing.assert_array_equal(packed[r], _pack_6bit_scalar(ex[r]))
+    np.testing.assert_array_equal(packing.unpack_ex_6bit_cpp(packed, dim), ex)
+
+
+def test_pack_ex_dispatch(rng):
+    # ex_bits=0 -> empty (ivf.rs:688); 2/6 with dim%16==0 -> cpp; else generic
+    ex = rng.integers(0, 4, size=(2, 64)).astype(np.uint16)
+    assert packing.pack_ex(ex, 0).shape == (2, 0)
+    np.testing.assert_array_equal(
+        packing.pack_ex(ex, 2), packing.pack_ex_2bit_cpp(ex)
+    )
+    ex7 = rng.integers(0, 128, size=(2, 64)).astype(np.uint16)
+    np.testing.assert_array_equal(
+        packing.pack_ex(ex7, 7), packing.pack_ex_generic(ex7, 7)
+    )
+    np.testing.assert_array_equal(packing.unpack_ex(packing.pack_ex(ex7, 7), 64, 7), ex7)
+
+
+def _pack_codes_scalar(codes, num_vectors, dim_bytes):
+    """Scalar oracle re-derived from pack_codes (simd.rs:864-904)."""
+    KPERM0 = [0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15]
+    bs = 32
+    nb = (num_vectors + bs - 1) // bs
+    packed = np.zeros(nb * bs * dim_bytes, np.uint8)
+    off = 0
+    for b in range(nb):
+        for col in range(dim_bytes):
+            col_data = np.zeros(bs, np.uint8)
+            for i, v in enumerate(range(b * bs, min((b + 1) * bs, num_vectors))):
+                col_data[i] = codes[v * dim_bytes + col]
+            c0 = col_data >> 4
+            c1 = col_data & 15
+            for j in range(16):
+                packed[off + j] = c0[KPERM0[j]] | (c0[KPERM0[j] + 16] << 4)
+                packed[off + j + 16] = c1[KPERM0[j]] | (c1[KPERM0[j] + 16] << 4)
+            off += 32
+    return packed
+
+
+def test_pack_codes_matches_scalar_and_roundtrips(rng):
+    dim_bytes = 8  # 64 dims
+    n = 40  # 2 batches, second ragged
+    rows = rng.integers(0, 256, size=(64, dim_bytes)).astype(np.uint8)
+    rows[n:] = 0  # zero padding like the builder does
+    batched = rows.reshape(2, 32, dim_bytes)
+    vec = packing.pack_codes(batched)
+    oracle = _pack_codes_scalar(rows.reshape(-1), 64, dim_bytes)
+    np.testing.assert_array_equal(vec.reshape(-1), oracle)
+    back = packing.unpack_codes(vec, dim_bytes)
+    np.testing.assert_array_equal(back, batched)

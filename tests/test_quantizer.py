@@ -1,0 +1,137 @@
+"""Quantizer tests.
+
+Mirrors the reference suite's quantizer coverage: reconstruction error
+bound (tests.rs:66-103) and estimator accuracy of the factor formulas
+(tests.rs:1742-1971), for both metrics and several bit widths."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rabitq_tpu.ops.quantize import (
+    compute_const_scaling_factor,
+    grid_best_t,
+    quantize_block,
+    reconstruct,
+)
+from rabitq_tpu.ops import estimator as est_ops
+from rabitq_tpu.types import Metric
+
+
+def _random_case(rng, n=32, dim=64):
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    centroid = rng.standard_normal((dim,)).astype(np.float32) * 0.1
+    cents = np.broadcast_to(centroid, (n, dim)).copy()
+    return data, cents
+
+
+@pytest.mark.parametrize("total_bits", [1, 3, 7])
+def test_reconstruction_error(total_bits, rng):
+    data, cents = _random_case(rng)
+    qb = quantize_block(
+        jnp.asarray(data), jnp.asarray(cents), ex_bits=total_bits - 1, metric=Metric.L2
+    )
+    total_code = np.asarray(qb.ex) + np.asarray(qb.binary).astype(np.int32) * (
+        1 << (total_bits - 1)
+    )
+    rec = np.asarray(
+        reconstruct(jnp.asarray(cents), jnp.asarray(total_code), qb.delta, qb.vl)
+    )
+    rel = np.linalg.norm(rec - data, axis=-1) / np.linalg.norm(data - cents, axis=-1)
+    # reference asserts <30% for 7 bits (tests.rs:66-103); 1-bit is coarser
+    limit = {1: 1.0, 3: 0.45, 7: 0.30}[total_bits]
+    assert float(np.mean(rel)) < limit, float(np.mean(rel))
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.InnerProduct])
+@pytest.mark.parametrize("total_bits", [1, 3, 7])
+def test_estimator_accuracy(metric, total_bits, rng):
+    """est_distance must approximate the true metric between query and data."""
+    n, dim = 64, 128
+    data, cents = _random_case(rng, n, dim)
+    ex_bits = total_bits - 1
+    qb = quantize_block(
+        jnp.asarray(data), jnp.asarray(cents), ex_bits=ex_bits, metric=metric
+    )
+    q = rng.standard_normal((dim,)).astype(np.float32)
+    qc = est_ops.query_constants(jnp.asarray(q), ex_bits)
+    centroid = cents[0]
+    g_add = (
+        float(np.sum((q - centroid) ** 2))
+        if metric is Metric.L2
+        else -float(np.dot(q, centroid))
+    )
+    bdot = np.asarray(qb.binary).astype(np.float32) @ q
+    est = np.asarray(
+        est_ops.est_1bit(qb.f_add, g_add, qb.f_rescale, jnp.asarray(bdot), qc.k1x_sum_q)
+    )
+    if ex_bits > 0:
+        edot = np.asarray(qb.ex).astype(np.float32) @ q
+        est = np.asarray(
+            est_ops.est_extended(
+                qb.f_add_ex,
+                g_add,
+                qb.f_rescale_ex,
+                jnp.asarray(bdot),
+                jnp.asarray(edot),
+                qc.binary_scale,
+                qc.kbx_sum_q,
+            )
+        )
+    if metric is Metric.L2:
+        truth = np.sum((data - q[None, :]) ** 2, axis=-1)
+        scale = float(np.mean(truth))
+    else:
+        truth = 1.0 - data @ q  # reference IP distance convention (1 - <v,q>)
+        scale = float(np.mean(np.abs(truth))) + 1.0
+    err = np.abs(est - truth) / scale
+    # 1-bit carries only sign information; this test checks formula wiring,
+    # the strict per-ID parity check lives in test_ivf.py (scan vs oracle).
+    tol = {1: 0.65, 3: 0.25, 7: 0.10}[total_bits]
+    assert float(np.mean(err)) < tol, (total_bits, metric, float(np.mean(err)))
+
+
+def test_ip_distance_identity(rng):
+    """For IP the estimated quantity is 1 - <v, q> (score = -distance)."""
+    n, dim = 16, 64
+    data, cents = _random_case(rng, n, dim)
+    qb = quantize_block(jnp.asarray(data), jnp.asarray(cents), ex_bits=6, metric=Metric.InnerProduct)
+    q = rng.standard_normal((dim,)).astype(np.float32)
+    qc = est_ops.query_constants(jnp.asarray(q), 6)
+    g_add = -float(np.dot(q, cents[0]))
+    bdot = np.asarray(qb.binary).astype(np.float32) @ q
+    edot = np.asarray(qb.ex).astype(np.float32) @ q
+    est = np.asarray(
+        est_ops.est_extended(
+            qb.f_add_ex, g_add, qb.f_rescale_ex, jnp.asarray(bdot),
+            jnp.asarray(edot), qc.binary_scale, qc.kbx_sum_q,
+        )
+    )
+    truth = 1.0 - data @ q
+    assert np.mean(np.abs(est - truth)) < 0.1 * (np.mean(np.abs(truth)) + 1.0)
+
+
+def test_grid_best_t_reasonable(rng):
+    """Grid-searched t should beat the constant-t objective on average."""
+    dim, ex_bits = 96, 6
+    v = rng.standard_normal((64, dim)).astype(np.float32)
+    o = np.abs(v) / np.linalg.norm(v, axis=-1, keepdims=True)
+    ts = np.asarray(grid_best_t(jnp.asarray(o), ex_bits))
+    assert np.all(np.isfinite(ts)) and np.all(ts > 0)
+    t_const = compute_const_scaling_factor(dim, ex_bits, seed=1)
+
+    def objective(o_row, t):
+        c = np.clip(np.floor(t * o_row + 1e-5), 0, 63)
+        return np.sum((c + 0.5) * o_row) / np.sqrt(0.25 * dim + np.sum(c * c + c))
+
+    j_grid = np.mean([objective(o[i], ts[i]) for i in range(64)])
+    j_const = np.mean([objective(o[i], t_const) for i in range(64)])
+    assert j_grid >= j_const - 1e-4
+
+
+def test_degenerate_zero_residual():
+    data = np.ones((4, 32), np.float32)
+    qb = quantize_block(jnp.asarray(data), jnp.asarray(data), ex_bits=6, metric=Metric.L2)
+    for f in qb[2:]:
+        assert np.all(np.isfinite(np.asarray(f)) | (np.asarray(f) == 0)), f
+    assert np.all(np.asarray(qb.ex) == 0)
