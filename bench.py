@@ -1,0 +1,183 @@
+"""Headline benchmark: QPS at recall@10 >= 0.95 on a GIST-like workload.
+
+The reference's published baseline is GIST-1M (960-d, L2): IVF ~3-5 QPS
+single-query at high recall on a CPU host (BASELINE.md). The GIST fvecs
+files are not present in this image, so this benchmark uses a synthetic
+960-d dataset (clustered Gaussians, matching GIST's dimensionality and
+metric) and reports QPS at the BASELINE.json operating point
+(recall@10 >= 0.95, 7-bit codes).
+
+``vs_baseline`` scales the reference's ~5 QPS GIST-1M figure linearly to
+this dataset's row count (CPU scan cost is linear in N), i.e.
+baseline_qps = 5 * (1M / N). With N = 200k the comparison point is 25 QPS.
+
+Usage: python bench.py [--rows N] [--queries Q] [--nlist K] [--small]
+Prints exactly one JSON line on stdout (progress goes to stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_dataset(n, dim, n_centers, rng):
+    """Clustered Gaussian data (GIST-like structure, not uniform noise)."""
+    centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
+    assign = rng.integers(0, n_centers, n)
+    data = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
+    return data.astype(np.float32)
+
+
+def exact_groundtruth(data, queries, k, block=50_000):
+    import jax
+    import jax.numpy as jnp
+
+    q = jnp.asarray(queries)
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+
+    best_d = None
+    best_i = None
+    for s in range(0, data.shape[0], block):
+        blk = jnp.asarray(data[s : s + block])
+        d2 = (
+            q_sq
+            + jnp.sum(blk * blk, axis=-1)[None, :]
+            - 2.0 * jnp.dot(q, blk.T, preferred_element_type=jnp.float32)
+        )
+        d, i = jax.lax.top_k(-d2, k)
+        i = i + s
+        if best_d is None:
+            best_d, best_i = d, i
+        else:
+            dd = jnp.concatenate([best_d, d], axis=1)
+            ii = jnp.concatenate([best_i, i], axis=1)
+            best_d, pos = jax.lax.top_k(dd, k)
+            best_i = jnp.take_along_axis(ii, pos, axis=1)
+    return np.asarray(best_i)
+
+
+def recall_at_k(ids, gt):
+    k = gt.shape[1]
+    return float(
+        np.mean([len(set(ids[i].tolist()) & set(gt[i].tolist())) / k for i in range(len(gt))])
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--dim", type=int, default=960)
+    ap.add_argument("--total-bits", type=int, default=7)
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--target-recall", type=float, default=0.95)
+    ap.add_argument("--small", action="store_true", help="tiny smoke-test config")
+    args = ap.parse_args()
+    if args.small:
+        args.rows, args.queries, args.nlist, args.dim = 20_000, 128, 128, 128
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    from rabitq_tpu import IvfRabitqIndex, Metric, RotatorType, SearchParams
+
+    rng = np.random.default_rng(7)
+    log(f"generating {args.rows}x{args.dim} dataset ...")
+    data = make_dataset(args.rows, args.dim, max(args.nlist // 2, 8), rng)
+    queries = make_dataset(args.queries, args.dim, 8, rng)
+
+    log("computing exact groundtruth ...")
+    t0 = time.time()
+    gt = exact_groundtruth(data, queries, args.top_k)
+    log(f"groundtruth: {time.time()-t0:.1f}s")
+
+    log("building index ...")
+    t0 = time.time()
+    index = IvfRabitqIndex.train(
+        data,
+        nlist=args.nlist,
+        total_bits=args.total_bits,
+        metric=Metric.L2,
+        rotator_type=RotatorType.FhtKacRotator,
+        seed=42,
+        use_faster_config=True,
+    )
+    index.device  # materialize HBM arrays
+    build_s = time.time() - t0
+    log(f"build: {build_s:.1f}s")
+
+    # --- nprobe sweep at fixed batch size (one compile: nprobe is traced) ---
+    nprobe_grid = [4, 8, 16, 32, 64, 128, 256, 512, 1024]
+    nprobe_grid = [p for p in nprobe_grid if p <= args.nlist]
+    chosen = None
+    qps_at = {}
+    for nprobe in nprobe_grid:
+        params = SearchParams(top_k=args.top_k, nprobe=nprobe)
+        all_ids = []
+        # warm-up on the first call compiles the scan
+        for s in range(0, args.queries, args.batch):
+            ids, _ = index.batch_search_arrays(queries[s : s + args.batch], params)
+            all_ids.append(ids)
+        rec = recall_at_k(np.concatenate(all_ids), gt)
+        # timed pass
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            for s in range(0, args.queries, args.batch):
+                index.batch_search_arrays(queries[s : s + args.batch], params)
+        dt = (time.time() - t0) / reps
+        qps = args.queries / dt
+        qps_at[nprobe] = (rec, qps)
+        log(f"nprobe={nprobe:5d} recall@{args.top_k}={rec:.4f} QPS={qps:.1f}")
+        if rec >= args.target_recall:
+            chosen = nprobe
+            break
+
+    if chosen is None:
+        # never reached the target; report the best point
+        chosen = nprobe_grid[-1]
+    rec, qps = qps_at[chosen]
+
+    # single-query latency at the chosen operating point
+    params = SearchParams(top_k=args.top_k, nprobe=chosen)
+    index.batch_search_arrays(queries[:1], params)  # compile B=1
+    t0 = time.time()
+    for i in range(32):
+        index.batch_search_arrays(queries[i : i + 1], params)
+    lat_ms = (time.time() - t0) / 32 * 1000
+    log(f"single-query latency at nprobe={chosen}: {lat_ms:.2f} ms")
+
+    baseline_qps = 5.0 * (1_000_000 / args.rows)
+    result = {
+        "metric": (
+            f"synthetic-gist{args.dim}d-{args.rows//1000}k batched QPS at "
+            f"recall@{args.top_k}>={args.target_recall} ({args.total_bits}-bit, "
+            f"nprobe={chosen}, recall={rec:.3f})"
+        ),
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "extra": {
+            "build_seconds": round(build_s, 1),
+            "single_query_ms": round(lat_ms, 2),
+            "recall": round(rec, 4),
+            "nprobe": chosen,
+            "baseline_qps_scaled": baseline_qps,
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

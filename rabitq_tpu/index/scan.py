@@ -75,7 +75,7 @@ def _stage1_dots(q_rot: jax.Array, codes: jax.Array, scan_dtype: str) -> jax.Arr
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top_k", "nprobe", "rerank", "metric", "ex_bits", "scan_dtype"),
+    static_argnames=("top_k", "rerank", "metric", "ex_bits", "scan_dtype"),
 )
 def scan_kernel(
     q_rot: jax.Array,  # [B, Dpad] f32 rotated queries
@@ -90,9 +90,9 @@ def scan_kernel(
     cluster_of: jax.Array,  # [Np] int32
     row_allowed: jax.Array,  # [Np] bool (valid & user filter)
     ids: jax.Array,  # [Np] int32 original vector ids
+    nprobe: jax.Array | int = 1,  # traced: sweeping nprobe does not recompile
     *,
     top_k: int,
-    nprobe: int,
     rerank: int,
     metric: Metric,
     ex_bits: int,
@@ -107,17 +107,22 @@ def scan_kernel(
     b, d = q_rot.shape
     n_rows = binary.shape[0]
     n_clusters = centroids.shape[0]
-    nprobe = min(max(nprobe, 1), n_clusters)
+    nprobe = jnp.clip(jnp.asarray(nprobe, jnp.int32), 1, n_clusters)
     rerank = min(max(rerank, top_k), n_rows)
 
     qc = est_ops.query_constants(q_rot, ex_bits)  # sums over last axis -> [B]
     g_add, g_error, sq_dist, cent_dot = est_ops.g_terms(q_rot, centroids, metric)
 
     # --- cluster selection (ivf.rs:1782-1835) ---
+    # Rank all clusters once; mark the first `nprobe` as probed. nprobe is a
+    # traced scalar, so recall/QPS sweeps reuse one compiled program.
     sel = -sq_dist if metric is Metric.L2 else cent_dot
-    _, probed = jax.lax.top_k(sel, nprobe)  # [B, nprobe]
+    _, ranked = jax.lax.top_k(sel, n_clusters)  # [B, C] best-first
+    within = jnp.broadcast_to(
+        jnp.arange(n_clusters, dtype=jnp.int32)[None, :] < nprobe, (b, n_clusters)
+    )
     probe_mask = jnp.zeros((b, n_clusters), jnp.bool_)
-    probe_mask = probe_mask.at[jnp.arange(b)[:, None], probed].set(True)
+    probe_mask = probe_mask.at[jnp.arange(b)[:, None], ranked].max(within)
 
     # --- stage 1: dense 1-bit estimate for every row ---
     bdot = _stage1_dots(q_rot, binary, scan_dtype)  # [B, Np]
