@@ -18,6 +18,8 @@ from .errors import (
 )
 from .types import Metric, RotatorType, SearchParams, SearchResult
 from .index.ivf import IvfRabitqIndex
+from .index.brute_force import BruteForceRabitqIndex, BruteForceSearchParams
+from .index.loader import RabitqIndex, load_index
 
 __version__ = "0.1.0"
 
@@ -27,6 +29,10 @@ __all__ = [
     "SearchParams",
     "SearchResult",
     "IvfRabitqIndex",
+    "BruteForceRabitqIndex",
+    "BruteForceSearchParams",
+    "RabitqIndex",
+    "load_index",
     "RabitqError",
     "DimensionMismatch",
     "InvalidConfig",

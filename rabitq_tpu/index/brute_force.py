@@ -1,0 +1,298 @@
+"""Brute-force RaBitQ index.
+
+API parity with the reference ``BruteForceRabitqIndex``
+(lqhl/rabitq-rs ``src/brute_force.rs``): the whole dataset is quantized
+against a zero centroid (``brute_force.rs:252-275``) and every query scans
+every code — no clustering, no pruning bound.
+
+On TPU this is exactly the IVF scan kernel with a single zero centroid and
+nprobe = 1: one dense [N, D] x [D, B] MXU pass plus the survivor re-rank.
+One parity quirk: the reference hardcodes ``g_add = 0`` instead of
+``||q - 0||^2`` (``brute_force.rs:571``), so its reported L2 "distance" is
+``||v - q||^2 - ||q||^2`` — a per-query constant shift that never changes
+ranking. We reproduce the same reported scores.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..errors import DimensionMismatch, EmptyIndex, InvalidConfig
+from ..types import Metric, RotatorType, SearchResult
+from ..ops.quantize import QuantizedBatch, compute_const_scaling_factor, quantize_block
+from ..ops.rotation import Rotator, make_rotator
+from .scan import scan_kernel
+from .ivf import _pad_pow2, _ROW_PAD, _QUANT_CHUNK_FAST, _QUANT_CHUNK_EXACT
+
+
+@dataclass(frozen=True)
+class BruteForceSearchParams:
+    """(``brute_force.rs:21-30``) plus the TPU re-rank budget."""
+
+    top_k: int
+    rerank: int | None = None
+
+    def resolved_rerank(self) -> int:
+        if self.rerank is not None:
+            return max(self.rerank, self.top_k)
+        return max(4 * self.top_k, 400)
+
+
+@dataclass
+class BruteForceHost:
+    binary_bits: np.ndarray  # [N, Dpad] uint8
+    ex_codes: np.ndarray  # [N, Dpad] uint16
+    delta: np.ndarray
+    vl: np.ndarray
+    f_add: np.ndarray
+    f_rescale: np.ndarray
+    f_error: np.ndarray
+    residual_norm: np.ndarray
+    f_add_ex: np.ndarray
+    f_rescale_ex: np.ndarray
+
+
+class BruteForceRabitqIndex:
+    def __init__(
+        self,
+        dim: int,
+        padded_dim: int,
+        metric: Metric,
+        rotator: Rotator,
+        ex_bits: int,
+        host: BruteForceHost,
+        scan_dtype: str = "bf16",
+    ):
+        self.dim = dim
+        self.padded_dim = padded_dim
+        self.metric = metric
+        self.rotator = rotator
+        self.ex_bits = ex_bits
+        self.host = host
+        self.scan_dtype = scan_dtype
+        self._device = None
+        self._rotate_jit = jax.jit(self.rotator.rotate)
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def train(
+        cls,
+        data: np.ndarray,
+        total_bits: int,
+        metric: Metric = Metric.L2,
+        rotator_type: RotatorType = RotatorType.FhtKacRotator,
+        seed: int = 42,
+        use_faster_config: bool = False,
+        scan_dtype: str = "bf16",
+    ) -> "BruteForceRabitqIndex":
+        """(``brute_force.rs:214-285``)"""
+        data = np.ascontiguousarray(data, np.float32)
+        if data.size == 0:
+            raise InvalidConfig("training data must be non-empty")
+        if not (1 <= total_bits <= 16):
+            raise InvalidConfig("total_bits must be between 1 and 16")
+        n, dim = data.shape
+        ex_bits = total_bits - 1
+        rotator = make_rotator(dim, rotator_type, seed)
+        padded_dim = rotator.padded_dim
+
+        from .ivf import _rotate_chunked
+
+        rotated = _rotate_chunked(rotator, data)
+        t_const = 0.0
+        if use_faster_config and ex_bits > 0:
+            t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
+
+        chunk = _QUANT_CHUNK_FAST if (use_faster_config or ex_bits == 0) else _QUANT_CHUNK_EXACT
+        chunk = min(chunk, max(256, n))
+        zero_cent = jnp.zeros((chunk, padded_dim), jnp.float32)
+
+        binary_bits = np.empty((n, padded_dim), np.uint8)
+        ex_codes = np.empty((n, padded_dim), np.uint16)
+        scalars = {
+            k: np.empty(n, np.float32)
+            for k in (
+                "delta",
+                "vl",
+                "f_add",
+                "f_rescale",
+                "f_error",
+                "residual_norm",
+                "f_add_ex",
+                "f_rescale_ex",
+            )
+        }
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            blk = np.zeros((chunk, padded_dim), np.float32)
+            blk[: e - s] = rotated[s:e]
+            qb: QuantizedBatch = quantize_block(
+                jnp.asarray(blk),
+                zero_cent,
+                ex_bits=ex_bits,
+                metric=metric,
+                t_const=t_const,
+                use_t_const=bool(use_faster_config and ex_bits > 0),
+            )
+            m = e - s
+            binary_bits[s:e] = np.asarray(qb.binary, np.uint8)[:m]
+            ex_codes[s:e] = np.asarray(qb.ex, np.uint16)[:m]
+            for name in scalars:
+                scalars[name][s:e] = np.asarray(getattr(qb, name))[:m]
+
+        host = BruteForceHost(binary_bits=binary_bits, ex_codes=ex_codes, **scalars)
+        return cls(dim, padded_dim, metric, rotator, ex_bits, host, scan_dtype)
+
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return int(self.host.binary_bits.shape[0])
+
+    @property
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    @property
+    def device(self):
+        if self._device is None:
+            h = self.host
+            n = len(self)
+            np_rows = max(_ROW_PAD, ((n + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
+
+            def pad2(x, dtype):
+                out = np.zeros((np_rows, x.shape[1]), dtype)
+                out[:n] = x
+                return jnp.asarray(out)
+
+            def pad1(x):
+                out = np.zeros(np_rows, np.float32)
+                out[:n] = x
+                return jnp.asarray(out)
+
+            valid = np.zeros(np_rows, bool)
+            valid[:n] = True
+            ids = np.full(np_rows, -1, np.int32)
+            ids[:n] = np.arange(n, dtype=np.int32)
+            ex_dtype = np.int8 if self.ex_bits <= 7 else np.int32
+            self._device = dict(
+                binary=pad2(h.binary_bits.astype(np.int8), np.int8),
+                ex=pad2(h.ex_codes.astype(ex_dtype), ex_dtype),
+                f_add=pad1(h.f_add),
+                f_rescale=pad1(h.f_rescale),
+                f_error=pad1(h.f_error),
+                f_add_ex=pad1(h.f_add_ex),
+                f_rescale_ex=pad1(h.f_rescale_ex),
+                cluster_of=jnp.zeros(np_rows, jnp.int32),
+                valid=jnp.asarray(valid),
+                ids=jnp.asarray(ids),
+                centroids=jnp.zeros((1, self.padded_dim), jnp.float32),
+            )
+        return self._device
+
+    # ------------------------------------------------------------------
+
+    def search(
+        self, query: np.ndarray, params: BruteForceSearchParams
+    ) -> list[SearchResult]:
+        return self.batch_search(np.asarray(query, np.float32)[None, :], params)[0]
+
+    def search_filtered(
+        self,
+        query: np.ndarray,
+        params: BruteForceSearchParams,
+        filter_ids: np.ndarray,
+    ) -> list[SearchResult]:
+        return self.batch_search(
+            np.asarray(query, np.float32)[None, :], params, filter_ids=filter_ids
+        )[0]
+
+    def batch_search(
+        self,
+        queries: np.ndarray,
+        params: BruteForceSearchParams,
+        filter_ids: np.ndarray | None = None,
+    ) -> list[list[SearchResult]]:
+        if self.is_empty:
+            raise EmptyIndex()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, queries.shape[1])
+        b = queries.shape[0]
+        if params.top_k <= 0:
+            return [[] for _ in range(b)]
+
+        dev = self.device
+        row_allowed = dev["valid"]
+        if filter_ids is not None:
+            filter_ids = np.asarray(filter_ids)
+            n = len(self)
+            np_rows = dev["binary"].shape[0]
+            mask = np.zeros(np_rows, bool)
+            if filter_ids.dtype == bool:
+                mask[: min(n, filter_ids.shape[0])] = filter_ids[:n]
+            else:
+                ok = filter_ids[(filter_ids >= 0) & (filter_ids < n)]
+                mask[ok.astype(np.int64)] = True
+            row_allowed = row_allowed & jnp.asarray(mask)
+
+        b_pad = _pad_pow2(b)
+        q = np.zeros((b_pad, self.dim), np.float32)
+        q[:b] = queries
+        q_rot = self._rotate_jit(jnp.asarray(q))
+
+        ids, dists = scan_kernel(
+            q_rot,
+            dev["centroids"],
+            dev["binary"],
+            dev["ex"],
+            dev["f_add"],
+            dev["f_rescale"],
+            dev["f_error"],
+            dev["f_add_ex"],
+            dev["f_rescale_ex"],
+            dev["cluster_of"],
+            row_allowed,
+            dev["ids"],
+            nprobe=1,
+            top_k=params.top_k,
+            rerank=params.resolved_rerank(),
+            metric=self.metric,
+            ex_bits=self.ex_bits,
+            scan_dtype=self.scan_dtype,
+        )
+        ids = np.asarray(ids)[:b]
+        dists = np.asarray(dists)[:b]
+        if self.metric is Metric.L2:
+            # reference parity: g_add is hardcoded to 0 for the zero
+            # centroid (brute_force.rs:571), while the kernel used ||q||^2
+            q_norm_sq = np.sum(np.asarray(q_rot)[:b] ** 2, axis=-1, keepdims=True)
+            dists = dists - q_norm_sq
+
+        out: list[list[SearchResult]] = []
+        for row_ids, row_d in zip(ids, dists):
+            hits = []
+            for i, dd in zip(row_ids, row_d):
+                if i < 0 or not np.isfinite(dd):
+                    continue
+                score = float(dd) if self.metric is Metric.L2 else float(-dd)
+                hits.append(SearchResult(id=int(i), score=score))
+            out.append(hits)
+        return out
+
+    # ------------------------------------------------------------------
+
+    def save_to_path(self, path) -> None:
+        from ..io import persistence_bf
+
+        persistence_bf.save_brute_force(self, path)
+
+    @classmethod
+    def load_from_path(cls, path, scan_dtype: str = "bf16") -> "BruteForceRabitqIndex":
+        from ..io import persistence_bf
+
+        return persistence_bf.load_brute_force(path, scan_dtype=scan_dtype)
