@@ -1,1 +1,6 @@
-"""MSTG hierarchical index (SPANN-style)."""
+"""MSTG hierarchical index (SPANN-style), TPU-native."""
+
+from .config import MstgConfig, MstgSearchParams, ScalarPrecision
+from .index import MstgIndex
+
+__all__ = ["MstgConfig", "MstgSearchParams", "ScalarPrecision", "MstgIndex"]

@@ -1,0 +1,89 @@
+"""Closure (multi-)assignment with the RNG rule, vectorized.
+
+Semantics of the reference ``ClosureAssigner`` (lqhl/rabitq-rs
+``mstg/closure.rs:24-107``): a vector joins every centroid within
+``(1 + epsilon) * closest_dist``, capped at ``max_replicas``, filtered by
+the Relative-Neighborhood-Graph rule — candidate j is skipped if an
+already-selected centroid i satisfies ``dist(v, j) > dist(c_i, c_j)``.
+
+The reference runs this per vector under rayon; here the candidate search
+is one [chunk, C] distance matmul + top-R on device, and the RNG rule is an
+unrolled R-step mask update over the [chunk, R, R] candidate-pair distance
+tensor (R = max_replicas <= 8, so the unroll is tiny).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("max_replicas",))
+def _closure_chunk(
+    chunk: jax.Array,  # [M, D] vectors
+    centroids: jax.Array,  # [C, D]
+    epsilon: float,
+    max_replicas: int,
+):
+    """Returns (cand_idx [M, R] int32, selected [M, R] bool)."""
+    m, d = chunk.shape
+    c = centroids.shape[0]
+    r = min(max_replicas, c)
+
+    x_sq = jnp.sum(chunk * chunk, axis=-1, keepdims=True)
+    c_sq = jnp.sum(centroids * centroids, axis=-1)[None, :]
+    d2 = jnp.maximum(x_sq + c_sq - 2.0 * chunk @ centroids.T, 0.0)  # [M, C]
+    neg_d, cand = jax.lax.top_k(-d2, r)  # [M, R] closest-first
+    cand_d = -neg_d
+
+    closest = cand_d[:, :1]
+    in_threshold = cand_d <= closest * (1.0 + epsilon)
+
+    # pairwise centroid distances among each row's candidates: [M, R, R]
+    cc = jnp.take(centroids, cand, axis=0)  # [M, R, D]
+    cc_sq = jnp.sum(cc * cc, axis=-1)  # [M, R]
+    pair = jnp.maximum(
+        cc_sq[:, :, None] + cc_sq[:, None, :] - 2.0 * jnp.einsum("mrd,msd->mrs", cc, cc),
+        0.0,
+    )
+
+    # RNG rule, unrolled over candidate rank (closest candidate always kept)
+    selected = jnp.zeros((m, r), bool).at[:, 0].set(True)
+    for j in range(1, r):
+        # skip j if any selected i has dist(v, j) > dist(c_i, c_j)
+        conflict = selected & (cand_d[:, j : j + 1] > pair[:, :, j])  # [M, R]
+        keep = in_threshold[:, j] & ~jnp.any(conflict, axis=-1)
+        selected = selected.at[:, j].set(keep)
+    return cand, selected
+
+
+def closure_assign(
+    data: np.ndarray,
+    centroids: np.ndarray,
+    epsilon: float,
+    max_replicas: int,
+    chunk: int = 8192,
+) -> list[np.ndarray]:
+    """Per-cluster member lists (row indices) after closure assignment."""
+    data = np.ascontiguousarray(data, np.float32)
+    centroids = np.ascontiguousarray(centroids, np.float32)
+    n = data.shape[0]
+    n_clusters = centroids.shape[0]
+    members: list[list[int]] = [[] for _ in range(n_clusters)]
+    cent_dev = jnp.asarray(centroids)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        blk = np.zeros((chunk, data.shape[1]), np.float32)
+        blk[: e - s] = data[s:e]
+        cand, selected = _closure_chunk(
+            jnp.asarray(blk), cent_dev, float(epsilon), int(max_replicas)
+        )
+        cand = np.asarray(cand)[: e - s]
+        selected = np.asarray(selected)[: e - s]
+        rows, cols = np.nonzero(selected)
+        for row, col in zip(rows, cols):
+            members[int(cand[row, col])].append(s + int(row))
+    return [np.array(m, dtype=np.int64) for m in members]

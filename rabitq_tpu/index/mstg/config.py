@@ -1,0 +1,83 @@
+"""MSTG configuration (parity with lqhl/rabitq-rs ``src/mstg/config.rs``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+import enum
+
+from ...types import Metric
+
+
+class ScalarPrecision(enum.Enum):
+    """Centroid storage precision (``mstg/config.rs:6-35``).
+
+    The reference only implements FP32/BF16 and panics on FP16/INT8
+    (``mstg/hnsw.rs:40-52``); all four work here.
+    """
+
+    FP32 = "fp32"
+    BF16 = "bf16"
+    FP16 = "fp16"
+    INT8 = "int8"
+
+    @property
+    def bytes_per_dim(self) -> float:
+        return {"fp32": 4, "bf16": 2, "fp16": 2, "int8": 1}[self.value]
+
+
+@dataclass
+class MstgConfig:
+    """(``mstg/config.rs:38-91``; defaults at 64-91)."""
+
+    # clustering
+    max_posting_size: int = 5000
+    branching_factor: int = 10
+    balance_weight: float = 1.0
+    # closure assignment
+    closure_epsilon: float = 0.15
+    max_replicas: int = 8
+    # RaBitQ
+    rabitq_bits: int = 7
+    faster_config: bool = False
+    metric: Metric = Metric.L2
+    # centroid navigation (the reference's HNSW params are kept for config
+    # parity; TPU navigation is an exact centroid matmul, so they are
+    # accepted and ignored, like hnsw_m/ef_construction already are in the
+    # reference itself, mstg/hnsw.rs:91-97)
+    hnsw_m: int = 32
+    hnsw_ef_construction: int = 200
+    centroid_precision: ScalarPrecision = ScalarPrecision.BF16
+    # search defaults
+    default_ef_search: int = 150
+    pruning_epsilon: float = 0.6
+    # TPU-specific: refine survivors with extended codes (the reference's
+    # MSTG scan is 1-bit-estimate only, mstg/index.rs:216-331; refinement
+    # improves recall at equal ef — disable for exact reference parity)
+    refine_ex: bool = True
+
+
+@dataclass(frozen=True)
+class MstgSearchParams:
+    """(``mstg/config.rs:95-136``)."""
+
+    ef_search: int = 150
+    pruning_epsilon: float = 0.6
+    top_k: int = 100
+    rerank: int | None = None
+
+    @staticmethod
+    def high_recall(top_k: int) -> "MstgSearchParams":
+        return MstgSearchParams(ef_search=300, pruning_epsilon=0.8, top_k=top_k)
+
+    @staticmethod
+    def balanced(top_k: int) -> "MstgSearchParams":
+        return MstgSearchParams(ef_search=150, pruning_epsilon=0.6, top_k=top_k)
+
+    @staticmethod
+    def low_latency(top_k: int) -> "MstgSearchParams":
+        return MstgSearchParams(ef_search=50, pruning_epsilon=0.4, top_k=top_k)
+
+    def resolved_rerank(self) -> int:
+        if self.rerank is not None:
+            return max(self.rerank, self.top_k)
+        return max(4 * self.top_k, 400)

@@ -1,0 +1,425 @@
+"""MSTG (Multi-Scale Tree Graph) index — SPANN-style hierarchical index.
+
+Parity with the reference ``MstgIndex`` (lqhl/rabitq-rs ``src/mstg/``):
+hierarchical balanced clustering -> closure multi-assignment -> per-posting
+RaBitQ quantization in the *original* space (no rotator,
+``mstg/index.rs:49-88``) -> centroid navigation -> dynamic pruning ->
+1-bit FastScan scan of selected posting lists (``mstg/index.rs:216-331``).
+
+TPU-first deviations (documented, all quality-neutral or better):
+
+* Centroid navigation is an exact top-ef centroid matmul instead of an
+  HNSW graph. For the reference's own scale (hundreds to a few thousand
+  centroids at max_posting_size=5000) the matmul is a single tiny MXU op,
+  removes the hnsw_rs dependency and the first-query graph-build stall
+  (``mstg/hnsw.rs:67-118``), and is exact where HNSW is approximate.
+* Posting lists live as one flat row space scanned by the shared fused
+  kernel (``index/scan.py``) with the probe mask built from
+  ef_search + dynamic pruning; per-row f_error is zeroed exactly like the
+  reference's scan (``mstg/index.rs:285-299``).
+* Results are deduplicated across posting lists (closure assignment
+  replicates vectors; the reference can return the same id twice).
+* Optionally (``config.refine_ex``, default on) survivors are re-scored
+  with the extended codes — the reference's MSTG scan is 1-bit-only.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...errors import DimensionMismatch, EmptyIndex, InvalidConfig, InvalidPersistence
+from ...types import Metric, SearchResult
+from ...ops import packing
+from ...ops.quantize import compute_const_scaling_factor, quantize_block
+from ..scan import scan_kernel
+from ..ivf import _pad_pow2, _ROW_PAD
+from .config import MstgConfig, MstgSearchParams, ScalarPrecision
+from .clustering import hierarchical_cluster
+from .closure import closure_assign
+
+_MAGIC = b"MSTG"
+_VERSION = 1001  # distinct from the reference's bincode-v1 multi-file format
+
+
+@dataclass
+class MstgHost:
+    binary_bits: np.ndarray  # [R, dim] uint8 (R = total rows incl. replicas)
+    ex_codes: np.ndarray  # [R, dim] uint16
+    f_add: np.ndarray
+    f_rescale: np.ndarray
+    f_add_ex: np.ndarray
+    f_rescale_ex: np.ndarray
+    delta: np.ndarray
+    vl: np.ndarray
+    ids: np.ndarray  # [R] int64 original vector id per row
+    list_offsets: np.ndarray  # [C+1] row ranges per posting list
+    centroids: np.ndarray  # [C, dim] f32
+
+
+class MstgIndex:
+    def __init__(self, config: MstgConfig, dim: int, host: MstgHost, scan_dtype: str = "bf16"):
+        self.config = config
+        self.dim = dim
+        self.host = host
+        self.scan_dtype = scan_dtype
+        self._device = None
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        data: np.ndarray,
+        config: MstgConfig | None = None,
+        seed: int = 42,
+        scan_dtype: str = "bf16",
+    ) -> "MstgIndex":
+        """(``mstg/index.rs:16-140``)"""
+        config = config or MstgConfig()
+        data = np.ascontiguousarray(data, np.float32)
+        if data.size == 0:
+            raise InvalidConfig("cannot build index from empty data")
+        n, dim = data.shape
+
+        # Step 1: hierarchical balanced clustering
+        clusters = hierarchical_cluster(
+            data,
+            max_cluster_size=config.max_posting_size,
+            branching_factor=config.branching_factor,
+            balance_weight=config.balance_weight,
+            seed=seed,
+        )
+        centroids = clusters.centroids
+
+        # Step 2: closure assignment with the RNG rule
+        members = closure_assign(
+            data, centroids, config.closure_epsilon, config.max_replicas
+        )
+
+        # Step 3: per-posting-list residual quantization (original space)
+        ex_bits = config.rabitq_bits - 1
+        t_const = 0.0
+        if config.faster_config and ex_bits > 0:
+            t_const = compute_const_scaling_factor(dim, ex_bits, seed)
+
+        total_rows = sum(m.size for m in members)
+        offsets = np.zeros(len(members) + 1, np.int64)
+        np.cumsum([m.size for m in members], out=offsets[1:])
+
+        binary_bits = np.empty((total_rows, dim), np.uint8)
+        ex_codes = np.empty((total_rows, dim), np.uint16)
+        scalars = {
+            k: np.empty(total_rows, np.float32)
+            for k in ("f_add", "f_rescale", "f_add_ex", "f_rescale_ex", "delta", "vl")
+        }
+        ids = np.empty(total_rows, np.int64)
+
+        chunk = 4096 if (config.faster_config or ex_bits == 0) else 256
+        for c, m in enumerate(members):
+            s = int(offsets[c])
+            ids[s : s + m.size] = m
+            cent = jnp.asarray(np.broadcast_to(centroids[c], (chunk, dim)).copy())
+            for cs in range(0, m.size, chunk):
+                ce = min(cs + chunk, m.size)
+                blk = np.zeros((chunk, dim), np.float32)
+                blk[: ce - cs] = data[m[cs:ce]]
+                qb = quantize_block(
+                    jnp.asarray(blk),
+                    cent,
+                    ex_bits=ex_bits,
+                    metric=config.metric,
+                    t_const=t_const,
+                    use_t_const=bool(config.faster_config and ex_bits > 0),
+                )
+                mm = ce - cs
+                binary_bits[s + cs : s + ce] = np.asarray(qb.binary, np.uint8)[:mm]
+                ex_codes[s + cs : s + ce] = np.asarray(qb.ex, np.uint16)[:mm]
+                for name in scalars:
+                    scalars[name][s + cs : s + ce] = np.asarray(getattr(qb, name))[:mm]
+
+        host = MstgHost(
+            binary_bits=binary_bits,
+            ex_codes=ex_codes,
+            ids=ids,
+            list_offsets=offsets,
+            centroids=centroids,
+            **scalars,
+        )
+        return cls(config, dim, host, scan_dtype)
+
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        """Number of distinct indexed vectors."""
+        if self.host.ids.size == 0:
+            return 0
+        return int(self.host.ids.max()) + 1
+
+    @property
+    def total_rows(self) -> int:
+        return int(self.host.ids.shape[0])
+
+    def posting_list_count(self) -> int:
+        return int(self.host.list_offsets.shape[0] - 1)
+
+    def replication_factor(self) -> float:
+        n = len(self)
+        return self.total_rows / max(n, 1)
+
+    def memory_usage(self) -> int:
+        """Rough device-resident bytes (mirrors ``mstg/index.rs:143-147``)."""
+        h = self.host
+        code_bytes = h.binary_bits.size + h.ex_codes.size  # int8 planes
+        factor_bytes = 6 * 4 * h.ids.size
+        cent_bytes = int(
+            h.centroids.shape[0]
+            * h.centroids.shape[1]
+            * self.config.centroid_precision.bytes_per_dim
+        )
+        return code_bytes + factor_bytes + cent_bytes
+
+    @property
+    def device(self):
+        if self._device is None:
+            h = self.host
+            r = self.total_rows
+            rp = max(_ROW_PAD, ((r + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
+
+            def pad2(x, dtype):
+                out = np.zeros((rp, x.shape[1]), dtype)
+                out[:r] = x
+                return jnp.asarray(out)
+
+            def pad1(x):
+                out = np.zeros(rp, np.float32)
+                out[:r] = x
+                return jnp.asarray(out)
+
+            sizes = np.diff(h.list_offsets)
+            cluster_of = np.zeros(rp, np.int32)
+            cluster_of[:r] = np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
+            valid = np.zeros(rp, bool)
+            valid[:r] = True
+            ids = np.full(rp, -1, np.int32)
+            ids[:r] = h.ids.astype(np.int32)
+            ex_bits = self.config.rabitq_bits - 1
+            ex_dtype = np.int8 if ex_bits <= 7 else np.int32
+            self._device = dict(
+                binary=pad2(h.binary_bits.astype(np.int8), np.int8),
+                ex=pad2(h.ex_codes.astype(ex_dtype), ex_dtype),
+                f_add=pad1(h.f_add),
+                f_rescale=pad1(h.f_rescale),
+                # reference MSTG zeroes f_error in its scan (mstg/index.rs:285)
+                f_error=jnp.zeros(rp, jnp.float32),
+                f_add_ex=pad1(h.f_add_ex),
+                f_rescale_ex=pad1(h.f_rescale_ex),
+                cluster_of=jnp.asarray(cluster_of),
+                valid=jnp.asarray(valid),
+                ids=jnp.asarray(ids),
+                centroids=jnp.asarray(h.centroids),
+            )
+        return self._device
+
+    # ------------------------------------------------------------------
+
+    def search(self, query: np.ndarray, params: MstgSearchParams) -> list[SearchResult]:
+        return self.batch_search(np.asarray(query, np.float32)[None, :], params)[0]
+
+    def batch_search(
+        self, queries: np.ndarray, params: MstgSearchParams
+    ) -> list[list[SearchResult]]:
+        """(``mstg/index.rs:150-213``; batched like ``batch_search`` at 340)"""
+        if self.total_rows == 0:
+            raise EmptyIndex()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, queries.shape[1])
+        b = queries.shape[0]
+        if params.top_k <= 0:
+            return [[] for _ in range(b)]
+
+        dev = self.device
+        b_pad = _pad_pow2(b)
+        q = np.zeros((b_pad, self.dim), np.float32)
+        q[:b] = queries
+
+        ex_bits = self.config.rabitq_bits - 1
+        # over-fetch to absorb cross-list duplicates from closure replication
+        fetch_k = min(params.top_k * 2 + 8, params.resolved_rerank())
+        ids, dists = scan_kernel(
+            jnp.asarray(q),
+            dev["centroids"],
+            dev["binary"],
+            dev["ex"],
+            dev["f_add"],
+            dev["f_rescale"],
+            dev["f_error"],
+            dev["f_add_ex"],
+            dev["f_rescale_ex"],
+            dev["cluster_of"],
+            dev["valid"],
+            dev["ids"],
+            nprobe=jnp.int32(params.ef_search),
+            prune_epsilon=jnp.float32(params.pruning_epsilon),
+            top_k=fetch_k,
+            rerank=params.resolved_rerank(),
+            metric=self.config.metric,
+            ex_bits=ex_bits,
+            scan_dtype=self.scan_dtype,
+            use_prune_epsilon=True,
+            refine_ex=self.config.refine_ex,
+            clamp_l2=True,
+            centroid_select_l2=True,
+        )
+        ids = np.asarray(ids)[:b]
+        dists = np.asarray(dists)[:b]
+
+        out: list[list[SearchResult]] = []
+        for row_ids, row_d in zip(ids, dists):
+            seen: set[int] = set()
+            hits: list[SearchResult] = []
+            for i, dd in zip(row_ids, row_d):
+                if i < 0 or not np.isfinite(dd) or int(i) in seen:
+                    continue
+                seen.add(int(i))
+                score = float(dd) if self.config.metric is Metric.L2 else float(-dd)
+                hits.append(SearchResult(id=int(i), score=score))
+                if len(hits) >= params.top_k:
+                    break
+            out.append(hits)
+        return out
+
+    # ------------------------------------------------------------------
+    # persistence (single-file TPU format; the reference's multi-file
+    # bincode + hnsw_rs graph dumps are Rust-runtime-specific)
+    # ------------------------------------------------------------------
+
+    def save_to_path(self, path) -> None:
+        h = self.host
+        cfg = self.config
+        n_lists = self.posting_list_count()
+        r = self.total_rows
+        dim = self.dim
+        ex_bits = cfg.rabitq_bits - 1
+
+        with open(path, "wb") as f:
+            crc = 0
+
+            def w(data: bytes, hashed: bool = True):
+                nonlocal crc
+                f.write(data)
+                if hashed:
+                    crc = zlib.crc32(data, crc)
+
+            w(_MAGIC, hashed=False)
+            w(struct.pack("<I", _VERSION), hashed=False)
+            prec_tag = list(ScalarPrecision).index(cfg.centroid_precision)
+            w(
+                struct.pack(
+                    "<IBBBBffIIfIB",
+                    dim,
+                    cfg.metric.to_tag(),
+                    cfg.rabitq_bits,
+                    prec_tag,
+                    1 if cfg.refine_ex else 0,
+                    cfg.closure_epsilon,
+                    cfg.balance_weight,
+                    cfg.max_posting_size,
+                    cfg.branching_factor,
+                    cfg.pruning_epsilon,
+                    cfg.default_ef_search,
+                    1 if cfg.faster_config else 0,
+                )
+            )
+            w(struct.pack("<QQ", n_lists, r))
+            w(h.centroids.astype("<f4").tobytes())
+            w(h.list_offsets.astype("<u8").tobytes())
+            w(h.ids.astype("<u8").tobytes())
+            w(packing.pack_binary(h.binary_bits).tobytes())
+            if ex_bits > 0:
+                w(packing.pack_ex_generic(h.ex_codes, ex_bits).tobytes())
+            for name in ("f_add", "f_rescale", "f_add_ex", "f_rescale_ex", "delta", "vl"):
+                w(getattr(h, name).astype("<f4").tobytes())
+            w(struct.pack("<I", crc), hashed=False)
+
+    @classmethod
+    def load_from_path(cls, path, scan_dtype: str = "bf16") -> "MstgIndex":
+        from ...io.persistence import _Cursor
+
+        with open(path, "rb") as f:
+            data = f.read()
+        cur = _Cursor(data)
+        if cur.take(4) != _MAGIC:
+            raise InvalidPersistence("unrecognized file header")
+        version = cur.u32()
+        if version != _VERSION:
+            raise InvalidPersistence(
+                "unsupported MSTG format version (the reference's bincode "
+                "multi-file format is not readable here)"
+            )
+        stored_crc = struct.unpack("<I", data[-4:])[0]
+        if zlib.crc32(data[8:-4]) != stored_crc:
+            raise InvalidPersistence("checksum mismatch")
+
+        (
+            dim,
+            metric_tag,
+            rabitq_bits,
+            prec_tag,
+            refine_ex,
+            closure_eps,
+            balance_w,
+            max_posting,
+            branching,
+            pruning_eps,
+            default_ef,
+            faster,
+        ) = struct.unpack("<IBBBBffIIfIB", cur.take(struct.calcsize("<IBBBBffIIfIB")))
+        n_lists = cur.u64()
+        r = cur.u64()
+        cfg = MstgConfig(
+            max_posting_size=max_posting,
+            branching_factor=branching,
+            balance_weight=balance_w,
+            closure_epsilon=closure_eps,
+            rabitq_bits=rabitq_bits,
+            faster_config=bool(faster),
+            metric=Metric.from_tag(metric_tag),
+            centroid_precision=list(ScalarPrecision)[prec_tag],
+            default_ef_search=default_ef,
+            pruning_epsilon=pruning_eps,
+            refine_ex=bool(refine_ex),
+        )
+        ex_bits = rabitq_bits - 1
+        centroids = cur.f32s(n_lists * dim).reshape(n_lists, dim)
+        offsets = cur.u64s(n_lists + 1).astype(np.int64)
+        ids = cur.u64s(r).astype(np.int64)
+        bin_len = (dim + 7) // 8
+        binary = packing.unpack_binary(
+            cur.bytes_np(r * bin_len).reshape(r, bin_len), dim
+        ).astype(np.uint8)
+        if ex_bits > 0:
+            ex_len = (dim * ex_bits + 7) // 8
+            ex = packing.unpack_ex_generic(
+                cur.bytes_np(r * ex_len).reshape(r, ex_len), dim, ex_bits
+            ).astype(np.uint16)
+        else:
+            ex = np.zeros((r, dim), np.uint16)
+        fields = {}
+        for name in ("f_add", "f_rescale", "f_add_ex", "f_rescale_ex", "delta", "vl"):
+            fields[name] = cur.f32s(r)
+        host = MstgHost(
+            binary_bits=binary,
+            ex_codes=ex,
+            ids=ids,
+            list_offsets=offsets,
+            centroids=centroids.astype(np.float32),
+            **fields,
+        )
+        return cls(cfg, dim, host, scan_dtype)

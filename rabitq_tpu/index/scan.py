@@ -75,7 +75,17 @@ def _stage1_dots(q_rot: jax.Array, codes: jax.Array, scan_dtype: str) -> jax.Arr
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top_k", "rerank", "metric", "ex_bits", "scan_dtype"),
+    static_argnames=(
+        "top_k",
+        "rerank",
+        "metric",
+        "ex_bits",
+        "scan_dtype",
+        "use_prune_epsilon",
+        "refine_ex",
+        "clamp_l2",
+        "centroid_select_l2",
+    ),
 )
 def scan_kernel(
     q_rot: jax.Array,  # [B, Dpad] f32 rotated queries
@@ -91,12 +101,17 @@ def scan_kernel(
     row_allowed: jax.Array,  # [Np] bool (valid & user filter)
     ids: jax.Array,  # [Np] int32 original vector ids
     nprobe: jax.Array | int = 1,  # traced: sweeping nprobe does not recompile
+    prune_epsilon: jax.Array | float = 0.0,  # traced (MSTG dynamic pruning)
     *,
     top_k: int,
     rerank: int,
     metric: Metric,
     ex_bits: int,
     scan_dtype: str,
+    use_prune_epsilon: bool = False,
+    refine_ex: bool = True,
+    clamp_l2: bool = False,
+    centroid_select_l2: bool = False,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
@@ -116,11 +131,25 @@ def scan_kernel(
     # --- cluster selection (ivf.rs:1782-1835) ---
     # Rank all clusters once; mark the first `nprobe` as probed. nprobe is a
     # traced scalar, so recall/QPS sweeps reuse one compiled program.
-    sel = -sq_dist if metric is Metric.L2 else cent_dot
-    _, ranked = jax.lax.top_k(sel, n_clusters)  # [B, C] best-first
+    if centroid_select_l2 or metric is Metric.L2:
+        # MSTG navigates centroids by L2 regardless of the scan metric
+        # (mstg/hnsw.rs uses DistL2 unconditionally).
+        sel = -sq_dist
+    else:
+        sel = cent_dot
+    ranked_sel, ranked = jax.lax.top_k(sel, n_clusters)  # [B, C] best-first
     within = jnp.broadcast_to(
         jnp.arange(n_clusters, dtype=jnp.int32)[None, :] < nprobe, (b, n_clusters)
     )
+    if use_prune_epsilon:
+        # MSTG dynamic pruning (mstg/index.rs:349-362): keep candidates whose
+        # centroid L2 *norm* distance <= closest * (1 + epsilon); the
+        # reference's candidate distances are sqrt'ed (mstg/hnsw.rs:175-184),
+        # so on squared distances the threshold is closest * (1+eps)^2.
+        ranked_sq = -ranked_sel  # valid under centroid_select_l2
+        closest = ranked_sq[:, :1]
+        factor = (1.0 + prune_epsilon) ** 2
+        within = within & (ranked_sq <= closest * factor)
     probe_mask = jnp.zeros((b, n_clusters), jnp.bool_)
     probe_mask = probe_mask.at[jnp.arange(b)[:, None], ranked].max(within)
 
@@ -145,7 +174,7 @@ def scan_kernel(
     b_cand = jnp.take(binary, cand_idx, axis=0).astype(jnp.float32)  # [B, R, D]
     bdot_c = jnp.einsum("brd,bd->br", b_cand, q_rot)
     g_add_c = jnp.take_along_axis(g_add, jnp.take(cluster_of, cand_idx), axis=1)
-    if ex_bits > 0:
+    if ex_bits > 0 and refine_ex:
         e_cand = jnp.take(ex, cand_idx, axis=0).astype(jnp.float32)
         edot_c = jnp.einsum("brd,bd->br", e_cand, q_rot)
         dist = est_ops.est_extended(
@@ -171,6 +200,13 @@ def scan_kernel(
     k = min(top_k, rerank)
     neg_d, pos = jax.lax.top_k(-dist, k)
     result_dist = -neg_d
+    if clamp_l2 and metric is Metric.L2:
+        # MSTG clamps small negative L2 estimates to 0 (mstg/index.rs:322-327).
+        # Unlike the reference we clamp after ranking: clamping first turns
+        # every negative estimate into a 0.0 tie and scrambles their order.
+        result_dist = jnp.where(
+            jnp.isfinite(result_dist), jnp.maximum(result_dist, 0.0), result_dist
+        )
     result_rows = jnp.take_along_axis(cand_idx, pos, axis=1)
     result_ids = jnp.where(
         jnp.isfinite(result_dist), jnp.take(ids, result_rows), jnp.int32(-1)
