@@ -101,51 +101,34 @@ class BruteForceRabitqIndex:
         rotator = make_rotator(dim, rotator_type, seed)
         padded_dim = rotator.padded_dim
 
-        from .ivf import _rotate_chunked
-
-        rotated = _rotate_chunked(rotator, data)
         t_const = 0.0
         if use_faster_config and ex_bits > 0:
             t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
 
-        chunk = _QUANT_CHUNK_FAST if (use_faster_config or ex_bits == 0) else _QUANT_CHUNK_EXACT
-        chunk = min(chunk, max(256, n))
-        zero_cent = jnp.zeros((chunk, padded_dim), jnp.float32)
+        from .build import build_codes
 
-        binary_bits = np.empty((n, padded_dim), np.uint8)
-        ex_codes = np.empty((n, padded_dim), np.uint16)
-        scalars = {
-            k: np.empty(n, np.float32)
-            for k in (
-                "delta",
-                "vl",
-                "f_add",
-                "f_rescale",
-                "f_error",
-                "residual_norm",
-                "f_add_ex",
-                "f_rescale_ex",
-            )
-        }
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            blk = np.zeros((chunk, padded_dim), np.float32)
-            blk[: e - s] = rotated[s:e]
-            qb: QuantizedBatch = quantize_block(
-                jnp.asarray(blk),
-                zero_cent,
-                ex_bits=ex_bits,
-                metric=metric,
-                t_const=t_const,
-                use_t_const=bool(use_faster_config and ex_bits > 0),
-            )
-            m = e - s
-            binary_bits[s:e] = np.asarray(qb.binary, np.uint8)[:m]
-            ex_codes[s:e] = np.asarray(qb.ex, np.uint16)[:m]
-            for name in scalars:
-                scalars[name][s:e] = np.asarray(getattr(qb, name))[:m]
-
-        host = BruteForceHost(binary_bits=binary_bits, ex_codes=ex_codes, **scalars)
+        codes = build_codes(
+            data,
+            np.zeros((1, padded_dim), np.float32),  # zero centroid
+            np.zeros(n, np.int32),
+            rotator=rotator,
+            ex_bits=ex_bits,
+            metric=metric,
+            use_t_const=use_faster_config,
+            t_const=t_const,
+        )
+        host = BruteForceHost(
+            binary_bits=codes["binary"],
+            ex_codes=codes["ex"],
+            delta=codes["delta"],
+            vl=codes["vl"],
+            f_add=codes["f_add"],
+            f_rescale=codes["f_rescale"],
+            f_error=codes["f_error"],
+            residual_norm=codes["residual_norm"],
+            f_add_ex=codes["f_add_ex"],
+            f_rescale_ex=codes["f_rescale_ex"],
+        )
         return cls(dim, padded_dim, metric, rotator, ex_bits, host, scan_dtype)
 
     # ------------------------------------------------------------------

@@ -229,8 +229,7 @@ class IvfRabitqIndex:
         rotator = make_rotator(dim, rotator_type, seed)
         padded_dim = rotator.padded_dim
 
-        rotated = _rotate_chunked(rotator, data)
-        rotated_centroids = _rotate_chunked(rotator, centroids)
+        rotated_centroids = np.asarray(jax.jit(rotator.rotate)(jnp.asarray(centroids)))
 
         # cluster-sorted row order; within a cluster keep ascending original id
         # (matches the reference's grouping loop, ivf.rs:1141-1149)
@@ -243,82 +242,33 @@ class IvfRabitqIndex:
         if use_faster_config and ex_bits > 0:
             t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
 
-        host = cls._quantize_all(
-            rotated,
+        from .build import build_codes
+
+        codes = build_codes(
+            data[order],
             rotated_centroids,
-            assignments,
-            order,
-            offsets,
-            metric,
-            ex_bits,
-            use_faster_config,
-            t_const,
+            assignments[order],
+            rotator=rotator,
+            ex_bits=ex_bits,
+            metric=metric,
+            use_t_const=use_faster_config,
+            t_const=t_const,
         )
-        return cls(dim, padded_dim, metric, rotator, ex_bits, host, scan_dtype)
-
-    @staticmethod
-    def _quantize_all(
-        rotated: np.ndarray,
-        rotated_centroids: np.ndarray,
-        assignments: np.ndarray,
-        order: np.ndarray,
-        offsets: np.ndarray,
-        metric: Metric,
-        ex_bits: int,
-        use_t_const: bool,
-        t_const: float,
-    ) -> HostCodes:
-        n, padded_dim = rotated.shape
-        chunk = _QUANT_CHUNK_FAST if (use_t_const or ex_bits == 0) else _QUANT_CHUNK_EXACT
-        chunk = min(chunk, max(256, n))
-
-        binary_bits = np.empty((n, padded_dim), np.uint8)
-        ex_codes = np.empty((n, padded_dim), np.uint16)
-        scalars = {
-            k: np.empty(n, np.float32)
-            for k in (
-                "f_add",
-                "f_rescale",
-                "f_error",
-                "f_add_ex",
-                "f_rescale_ex",
-                "delta",
-                "vl",
-            )
-        }
-        cent_dev = jnp.asarray(rotated_centroids)
-        assign_sorted = assignments[order]
-        rotated_sorted_view = rotated[order]  # gather once (host)
-
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            blk = np.zeros((chunk, padded_dim), np.float32)
-            blk[: e - s] = rotated_sorted_view[s:e]
-            a = np.zeros(chunk, np.int64)
-            a[: e - s] = assign_sorted[s:e]
-            cents = jnp.take(cent_dev, jnp.asarray(a), axis=0)
-            qb: QuantizedBatch = quantize_block(
-                jnp.asarray(blk),
-                cents,
-                ex_bits=ex_bits,
-                metric=metric,
-                t_const=t_const,
-                use_t_const=bool(use_t_const and ex_bits > 0),
-            )
-            m = e - s
-            binary_bits[s:e] = np.asarray(qb.binary, np.uint8)[:m]
-            ex_codes[s:e] = np.asarray(qb.ex, np.uint16)[:m]
-            for name in scalars:
-                scalars[name][s:e] = np.asarray(getattr(qb, name))[:m]
-
-        return HostCodes(
-            binary_bits=binary_bits,
-            ex_codes=ex_codes,
+        host = HostCodes(
+            binary_bits=codes["binary"],
+            ex_codes=codes["ex"],
+            f_add=codes["f_add"],
+            f_rescale=codes["f_rescale"],
+            f_error=codes["f_error"],
+            f_add_ex=codes["f_add_ex"],
+            f_rescale_ex=codes["f_rescale_ex"],
+            delta=codes["delta"],
+            vl=codes["vl"],
             ids=order.astype(np.int64),
             cluster_offsets=offsets,
             centroids=rotated_centroids,
-            **scalars,
         )
+        return cls(dim, padded_dim, metric, rotator, ex_bits, host, scan_dtype)
 
     # ------------------------------------------------------------------
     # device materialization

@@ -111,45 +111,36 @@ class MstgIndex:
         total_rows = sum(m.size for m in members)
         offsets = np.zeros(len(members) + 1, np.int64)
         np.cumsum([m.size for m in members], out=offsets[1:])
+        ids = np.concatenate(members) if members else np.zeros(0, np.int64)
+        row_list = np.repeat(
+            np.arange(len(members), dtype=np.int32),
+            [m.size for m in members],
+        )
 
-        binary_bits = np.empty((total_rows, dim), np.uint8)
-        ex_codes = np.empty((total_rows, dim), np.uint16)
-        scalars = {
-            k: np.empty(total_rows, np.float32)
-            for k in ("f_add", "f_rescale", "f_add_ex", "f_rescale_ex", "delta", "vl")
-        }
-        ids = np.empty(total_rows, np.int64)
+        from ..build import build_codes
 
-        chunk = 4096 if (config.faster_config or ex_bits == 0) else 256
-        for c, m in enumerate(members):
-            s = int(offsets[c])
-            ids[s : s + m.size] = m
-            cent = jnp.asarray(np.broadcast_to(centroids[c], (chunk, dim)).copy())
-            for cs in range(0, m.size, chunk):
-                ce = min(cs + chunk, m.size)
-                blk = np.zeros((chunk, dim), np.float32)
-                blk[: ce - cs] = data[m[cs:ce]]
-                qb = quantize_block(
-                    jnp.asarray(blk),
-                    cent,
-                    ex_bits=ex_bits,
-                    metric=config.metric,
-                    t_const=t_const,
-                    use_t_const=bool(config.faster_config and ex_bits > 0),
-                )
-                mm = ce - cs
-                binary_bits[s + cs : s + ce] = np.asarray(qb.binary, np.uint8)[:mm]
-                ex_codes[s + cs : s + ce] = np.asarray(qb.ex, np.uint16)[:mm]
-                for name in scalars:
-                    scalars[name][s + cs : s + ce] = np.asarray(getattr(qb, name))[:mm]
-
+        codes = build_codes(
+            data[ids],
+            centroids,
+            row_list,
+            rotator=None,  # MSTG quantizes in the original space
+            ex_bits=ex_bits,
+            metric=config.metric,
+            use_t_const=config.faster_config,
+            t_const=t_const,
+        )
         host = MstgHost(
-            binary_bits=binary_bits,
-            ex_codes=ex_codes,
+            binary_bits=codes["binary"],
+            ex_codes=codes["ex"],
+            f_add=codes["f_add"],
+            f_rescale=codes["f_rescale"],
+            f_add_ex=codes["f_add_ex"],
+            f_rescale_ex=codes["f_rescale_ex"],
+            delta=codes["delta"],
+            vl=codes["vl"],
             ids=ids,
             list_offsets=offsets,
             centroids=centroids,
-            **scalars,
         )
         return cls(config, dim, host, scan_dtype)
 

@@ -2,16 +2,23 @@
 
 Faiss-style sampled Lloyd iterations, following the reference pipeline
 (lqhl/rabitq-rs ``src/kmeans.rs``): training-set subsampling capped at
-``max_points_per_centroid`` (``kmeans.rs:210-226``), random Forgy init
-(``kmeans.rs:229-245``), GEMM-based assignment in row blocks
-(``kmeans.rs:439-547``), empty-cluster reseeding from far-point candidates
-(``kmeans.rs:564-602``), multi-restart by objective (``kmeans.rs:104-183``)
-and optional spherical normalization (``kmeans.rs:352-367``).
+``max_points_per_centroid`` (``kmeans.rs:210-226``), GEMM-based assignment
+in row blocks (``kmeans.rs:439-547``), empty-cluster reseeding from
+far-point candidates (``kmeans.rs:564-602``), multi-restart by objective
+(``kmeans.rs:104-183``) and optional spherical normalization
+(``kmeans.rs:352-367``).
 
-The reference's sgemm-per-chunk + rayon fold/reduce becomes: one jitted
-device step per Lloyd iteration — blockwise ``x @ C^T`` on the MXU, argmin,
-``segment_sum`` centroid accumulation — with only the (tiny) empty-cluster
-reseed decision on the host between iterations.
+TPU-first deviations from the reference:
+
+* init is k-means++ (D^2 sampling) instead of random Forgy — Forgy
+  regularly lands two seeds in one natural cluster, a local optimum Lloyd
+  cannot escape (empty-cluster reseeding never fires on it);
+* the whole Lloyd loop — init, blockwise MXU assignment, segment-sum
+  update, on-device empty-cluster reseed — is ONE jitted program
+  (``lax.fori_loop``), not a host loop: a full k-means run is a single
+  dispatch, which matters when device dispatch has tunnel latency;
+* padded rows are routed to a scratch segment k and dropped, so no host
+  fix-up of counts is needed.
 """
 
 from __future__ import annotations
@@ -43,9 +50,9 @@ def _block_size(k: int) -> int:
 def _assign_blocks(data: jax.Array, centroids: jax.Array, block: int):
     """Blockwise nearest-centroid assignment.
 
-    data [N, D] (N padded to a multiple of ``block``), centroids [k, D].
-    Returns (assignments [N] int32, min_dists [N] f32). Distance is the
-    clamped expansion ||x||^2 + ||c||^2 - 2 x.c (``kmeans.rs:496-507``).
+    data [N, D] (N a multiple of ``block``), centroids [k, D]. Returns
+    (assignments [N] int32, min_dists [N] f32). Distance is the clamped
+    expansion ||x||^2 + ||c||^2 - 2 x.c (``kmeans.rs:496-507``).
     """
     n, d = data.shape
     c_norm = jnp.sum(centroids * centroids, axis=-1)  # [k]
@@ -63,39 +70,17 @@ def _assign_blocks(data: jax.Array, centroids: jax.Array, block: int):
     return assign.reshape(n), dists.reshape(n)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
-def _lloyd_step(data: jax.Array, centroids: jax.Array, k: int, block: int):
-    """One Lloyd iteration on device.
-
-    Returns (sums [k, D], counts [k], far_dists [8], far_idx [8]) — the
-    far-point candidates feed the host-side empty-cluster reseed
-    (``kmeans.rs:549-601``).
-    """
-    assign, dists = _assign_blocks(data, centroids, block)
-    sums = jax.ops.segment_sum(data, assign, num_segments=k)
-    counts = jax.ops.segment_sum(
-        jnp.ones((data.shape[0],), jnp.float32), assign, num_segments=k
-    )
-    far_dists, far_idx = jax.lax.top_k(dists, RESEED_CANDIDATES)
-    return sums, counts, far_dists, far_idx
-
-
 @functools.partial(jax.jit, static_argnames=("k", "n_valid"))
 def _kmeanspp_init(data: jax.Array, key: jax.Array, k: int, n_valid: int) -> jax.Array:
     """k-means++ (D^2-weighted) seeding, entirely on device.
 
-    ``data`` [N, D] (rows >= n_valid are padding and excluded). One jitted
-    fori_loop: each step scores distances to the last chosen centroid
-    (a [N, D] x [D] matvec), folds them into the running min-distance, and
-    samples the next centroid by inverse-CDF over that distribution.
-
-    This deliberately upgrades the reference's random Forgy init
-    (``kmeans.rs:229-245``): D^2 seeding avoids the
-    two-centroids-in-one-natural-cluster local optima that plain Lloyd
-    cannot escape (empty-cluster reseeding never fires on them).
+    ``data`` [N, D] (rows >= n_valid are padding and excluded). One
+    fori_loop: each step scores distances to the last chosen centroid, folds
+    them into the running min-distance, and samples the next centroid by
+    inverse-CDF over that distribution.
     """
     n, d = data.shape
-    valid = (jnp.arange(n) < n_valid)
+    valid = jnp.arange(n) < n_valid
     first = jax.random.randint(key, (), 0, n_valid)
     centroids0 = jnp.zeros((k, d), jnp.float32).at[0].set(data[first])
     min_d2_0 = jnp.full((n,), jnp.inf, jnp.float32)
@@ -109,14 +94,57 @@ def _kmeanspp_init(data: jax.Array, key: jax.Array, k: int, n_valid: int) -> jax
         cum = jnp.cumsum(w)
         total = cum[-1]
         u = jax.random.uniform(jax.random.fold_in(key, i)) * total
-        idx = jnp.searchsorted(cum, u)
-        idx = jnp.clip(idx, 0, n_valid - 1)
-        # degenerate case: all remaining distances zero -> any valid row
+        idx = jnp.clip(jnp.searchsorted(cum, u), 0, n_valid - 1)
         idx = jnp.where(total > 0, idx, first)
         return centroids.at[i].set(data[idx]), min_d2
 
     centroids, _ = jax.lax.fori_loop(1, k, body, (centroids0, min_d2_0))
     return centroids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "niter", "block", "n_valid", "spherical")
+)
+def _kmeans_device(
+    data: jax.Array,  # [N_pad, D], rows >= n_valid are zero padding
+    key: jax.Array,
+    k: int,
+    niter: int,
+    block: int,
+    n_valid: int,
+    spherical: bool,
+) -> jax.Array:
+    """Full k-means (init + ``niter`` Lloyd iterations) as one program.
+
+    Returns centroids [k, D]. Padded rows are assigned to a scratch
+    segment k and dropped from the update. Empty clusters reseed from the
+    current farthest points (``kmeans.rs:564-602``), on device.
+    """
+    n, d = data.shape
+    row_valid = jnp.arange(n) < n_valid
+    centroids0 = _kmeanspp_init(data, key, k, n_valid)
+
+    def step(i, centroids):
+        assign, dists = _assign_blocks(data, centroids, block)
+        assign = jnp.where(row_valid, assign, k)  # padding -> scratch segment
+        sums = jax.ops.segment_sum(data, assign, num_segments=k + 1)[:k]
+        counts = jax.ops.segment_sum(
+            jnp.ones((n,), jnp.float32), assign, num_segments=k + 1
+        )[:k]
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        # on-device empty-cluster reseed from far points
+        empty = counts == 0
+        far_d = jnp.where(row_valid, dists, -jnp.inf)
+        _, far_idx = jax.lax.top_k(far_d, RESEED_CANDIDATES)
+        rank = jnp.clip(jnp.cumsum(empty.astype(jnp.int32)) - 1, 0, RESEED_CANDIDATES - 1)
+        reseed = data[far_idx[rank]]
+        new_c = jnp.where(empty[:, None], reseed, new_c)
+        if spherical:
+            norms = jnp.linalg.norm(new_c, axis=-1, keepdims=True)
+            new_c = jnp.where(norms > 0, new_c / jnp.maximum(norms, 1e-30), new_c)
+        return new_c
+
+    return jax.lax.fori_loop(0, niter, step, centroids0)
 
 
 def run_kmeans(
@@ -150,8 +178,6 @@ def run_kmeans(
     nt = train.shape[0]
 
     block = _block_size(k)
-    # pad training rows to a block multiple; padded rows get weight 0 by
-    # assigning them to a scratch copy of row 0 and subtracting.
     nt_pad = ((nt + block - 1) // block) * block
     train_pad = np.zeros((nt_pad, dim), np.float32)
     train_pad[:nt] = train
@@ -159,43 +185,13 @@ def run_kmeans(
 
     best: KMeansResult | None = None
     for redo in range(nredo):
-        redo_rng = np.random.default_rng((seed, redo))
         key = jax.random.PRNGKey(seed * 1_000_003 + redo)
-        centroids = _kmeanspp_init(train_dev, key, k, nt)
-
-        for _ in range(niter):
-            sums, counts, far_d, far_i = _lloyd_step(train_dev, centroids, k, block)
-            sums = np.array(sums)  # writable host copies
-            counts = np.array(counts)
-            if nt_pad != nt:
-                # remove padded-row contributions (they are all-zero rows that
-                # land in whichever cluster is nearest to the origin)
-                pad_assign, _ = _assign_blocks(
-                    jnp.zeros((block, dim), jnp.float32), centroids, block
-                )
-                c0 = int(np.asarray(pad_assign)[0])
-                counts[c0] -= nt_pad - nt
-            new_centroids = np.zeros((k, dim), np.float32)
-            nonempty = counts > 0
-            new_centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
-            empty = np.flatnonzero(~nonempty)
-            if empty.size:
-                far_i = np.asarray(far_i)
-                cand = [i for i in dict.fromkeys(far_i.tolist()) if i < nt]
-                for j, cluster in enumerate(empty):
-                    if j < len(cand):
-                        new_centroids[cluster] = train[cand[j]]
-                    else:
-                        new_centroids[cluster] = train[redo_rng.integers(0, nt)]
-            if spherical:
-                norms = np.linalg.norm(new_centroids, axis=-1, keepdims=True)
-                np.divide(new_centroids, norms, out=new_centroids, where=norms > 0)
-            centroids = jnp.asarray(new_centroids)
-
-        # --- full-dataset assignment + objective (kmeans.rs:604-642) ---
-        assignments, objective = assign_dataset(data, np.asarray(centroids), block=block)
+        centroids = np.asarray(
+            _kmeans_device(train_dev, key, k, niter, block, nt, spherical)
+        )
+        assignments, objective = assign_dataset(data, centroids, block=block)
         result = KMeansResult(
-            centroids=np.asarray(centroids), assignments=assignments, objective=objective
+            centroids=centroids, assignments=assignments, objective=objective
         )
         if best is None or result.objective < best.objective:
             best = result
@@ -206,7 +202,8 @@ def run_kmeans(
 def assign_dataset(
     data: np.ndarray, centroids: np.ndarray, block: int | None = None
 ) -> tuple[np.ndarray, float]:
-    """Assign every row of ``data`` to its nearest centroid.
+    """Assign every row of ``data`` to its nearest centroid
+    (``kmeans.rs:604-642``).
 
     Returns (assignments [N] int32, objective = sum of min squared dists).
     """
