@@ -99,6 +99,25 @@ def _rotate_chunked(rotator: Rotator, data: np.ndarray, chunk: int = _ROT_CHUNK)
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _count_probed(q_rot, centroids, cluster_of, valid, nprobe, *, metric):
+    """Number of valid rows inside the probed clusters, per query."""
+    from ..ops import estimator as est_ops
+
+    g_add, g_error, sq, dot = est_ops.g_terms(q_rot, centroids, metric)
+    sel = -sq if metric is Metric.L2 else dot
+    n_clusters = centroids.shape[0]
+    nprobe = jnp.clip(nprobe, 1, n_clusters)
+    _, ranked = jax.lax.top_k(sel, n_clusters)
+    within = jnp.broadcast_to(
+        jnp.arange(n_clusters)[None, :] < nprobe, ranked.shape
+    )
+    mask = jnp.zeros(ranked.shape, jnp.bool_)
+    mask = mask.at[jnp.arange(ranked.shape[0])[:, None], ranked].max(within)
+    rows = jnp.take(mask, cluster_of, axis=1) & valid[None, :]
+    return jnp.sum(rows, axis=1)
+
+
 class IvfRabitqIndex:
     def __init__(
         self,
@@ -420,6 +439,35 @@ class IvfRabitqIndex:
             scan_dtype=self.scan_dtype,
         )
         return np.asarray(ids)[:b], np.asarray(dists)[:b]
+
+    def search_with_diagnostics(
+        self, query: np.ndarray, params: SearchParams
+    ) -> tuple[list[SearchResult], "SearchDiagnostics"]:
+        """Search plus scan counters (reference test accessor
+        ``ivf.rs:2131-2140``)."""
+        from ..types import SearchDiagnostics
+
+        results = self.search(query, params)
+        dev = self.device
+        q = np.asarray(query, np.float32)[None, :]
+        q_rot = self._rotate_jit(jnp.asarray(q))
+        probed = int(
+            _count_probed(
+                q_rot,
+                dev.centroids,
+                dev.cluster_of,
+                dev.valid,
+                jnp.int32(params.nprobe),
+                metric=self.metric,
+            )[0]
+        )
+        survivors = min(params.resolved_rerank(), probed)
+        diag = SearchDiagnostics(
+            estimated=survivors,
+            skipped_by_lower_bound=max(probed - survivors, 0),
+            extended_evaluations=survivors if self.ex_bits > 0 else 0,
+        )
+        return results, diag
 
     def _row_filter(self, filter_ids: np.ndarray) -> np.ndarray:
         """Convert an allowed-id set into a per-row bool mask."""

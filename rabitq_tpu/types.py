@@ -86,3 +86,19 @@ class SearchResult:
 
     id: int
     score: float
+
+
+@dataclass
+class SearchDiagnostics:
+    """Scan observability counters (reference ``ivf.rs:150-155``).
+
+    * ``estimated`` — candidates that reached final scoring
+    * ``skipped_by_lower_bound`` — probed candidates dropped by the 1-bit
+      lower-bound selection (the heap prune in the reference; the fixed
+      survivor cut here)
+    * ``extended_evaluations`` — candidates re-scored with extended codes
+    """
+
+    estimated: int = 0
+    skipped_by_lower_bound: int = 0
+    extended_evaluations: int = 0
