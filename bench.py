@@ -75,12 +75,12 @@ def recall_at_k(ids, gt):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=200_000)
-    ap.add_argument("--queries", type=int, default=512)
+    ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--nlist", type=int, default=1024)
     ap.add_argument("--dim", type=int, default=960)
     ap.add_argument("--total-bits", type=int, default=7)
     ap.add_argument("--top-k", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--target-recall", type=float, default=0.95)
     ap.add_argument("--small", action="store_true", help="tiny smoke-test config")
     args = ap.parse_args()

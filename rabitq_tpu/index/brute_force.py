@@ -66,6 +66,7 @@ class BruteForceRabitqIndex:
         ex_bits: int,
         host: BruteForceHost,
         scan_dtype: str = "bf16",
+        approx_topk: bool | None = None,
     ):
         self.dim = dim
         self.padded_dim = padded_dim
@@ -74,7 +75,9 @@ class BruteForceRabitqIndex:
         self.ex_bits = ex_bits
         self.host = host
         self.scan_dtype = scan_dtype
+        self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
         self._device = None
+        self._device_perm = None
         self._rotate_jit = jax.jit(self.rotator.rotate)
 
     # ------------------------------------------------------------------
@@ -150,29 +153,37 @@ class BruteForceRabitqIndex:
             def pad2(x, dtype):
                 out = np.zeros((np_rows, x.shape[1]), dtype)
                 out[:n] = x
-                return jnp.asarray(out)
+                return out
 
             def pad1(x):
                 out = np.zeros(np_rows, np.float32)
                 out[:n] = x
-                return jnp.asarray(out)
+                return out
 
             valid = np.zeros(np_rows, bool)
             valid[:n] = True
             ids = np.full(np_rows, -1, np.int32)
             ids[:n] = np.arange(n, dtype=np.int32)
             ex_dtype = np.int8 if self.ex_bits <= 7 else np.int32
+            from .scan import device_row_permutation
+
+            perm = device_row_permutation(n, np_rows)
+            self._device_perm = perm
+
+            def permuted(x):
+                return jnp.asarray(np.asarray(x)[perm])
+
             self._device = dict(
-                binary=pad2(h.binary_bits.astype(np.int8), np.int8),
-                ex=pad2(h.ex_codes.astype(ex_dtype), ex_dtype),
-                f_add=pad1(h.f_add),
-                f_rescale=pad1(h.f_rescale),
-                f_error=pad1(h.f_error),
-                f_add_ex=pad1(h.f_add_ex),
-                f_rescale_ex=pad1(h.f_rescale_ex),
+                binary=permuted(pad2(h.binary_bits.astype(np.int8), np.int8)),
+                ex=permuted(pad2(h.ex_codes.astype(ex_dtype), ex_dtype)),
+                f_add=permuted(pad1(h.f_add)),
+                f_rescale=permuted(pad1(h.f_rescale)),
+                f_error=permuted(pad1(h.f_error)),
+                f_add_ex=permuted(pad1(h.f_add_ex)),
+                f_rescale_ex=permuted(pad1(h.f_rescale_ex)),
                 cluster_of=jnp.zeros(np_rows, jnp.int32),
-                valid=jnp.asarray(valid),
-                ids=jnp.asarray(ids),
+                valid=jnp.asarray(valid[perm]),
+                ids=jnp.asarray(ids[perm]),
                 centroids=jnp.zeros((1, self.padded_dim), jnp.float32),
             )
         return self._device
@@ -221,7 +232,7 @@ class BruteForceRabitqIndex:
             else:
                 ok = filter_ids[(filter_ids >= 0) & (filter_ids < n)]
                 mask[ok.astype(np.int64)] = True
-            row_allowed = row_allowed & jnp.asarray(mask)
+            row_allowed = row_allowed & jnp.asarray(mask[self._device_perm])
 
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
@@ -247,6 +258,7 @@ class BruteForceRabitqIndex:
             metric=self.metric,
             ex_bits=self.ex_bits,
             scan_dtype=self.scan_dtype,
+            approx_topk=self.approx_topk,
         )
         ids = np.asarray(ids)[:b]
         dists = np.asarray(dists)[:b]

@@ -128,6 +128,7 @@ class IvfRabitqIndex:
         ex_bits: int,
         host: HostCodes,
         scan_dtype: str = "bf16",
+        approx_topk: bool | None = None,
     ):
         self.dim = dim
         self.padded_dim = padded_dim
@@ -136,7 +137,11 @@ class IvfRabitqIndex:
         self.ex_bits = ex_bits
         self.host = host
         self.scan_dtype = scan_dtype
+        # approximate survivor selection is the fast path; the f32 oracle
+        # configuration (used by parity tests) defaults to exact selection
+        self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
         self._device: DeviceIndex | None = None
+        self._device_perm: np.ndarray | None = None
         # One persistent jit wrapper — constructing jax.jit per call would
         # retrace and recompile the rotation on every search.
         self._rotate_jit = jax.jit(self.rotator.rotate)
@@ -323,17 +328,22 @@ class IvfRabitqIndex:
             ex_dev = padded(h.ex_codes.astype(np.int8), np.int8)
         else:  # >7 magnitude bits do not fit int8; keep exact in f32-capable i32
             ex_dev = padded(h.ex_codes.astype(np.int32), np.int32)
+        # scatter rows for approx_max_k (see device_row_permutation)
+        from .scan import device_row_permutation
+
+        perm = device_row_permutation(n, np_rows)
+        self._device_perm = perm
         return DeviceIndex(
-            binary=jnp.asarray(padded(h.binary_bits.astype(np.int8), np.int8)),
-            ex=jnp.asarray(ex_dev),
-            f_add=jnp.asarray(padded(h.f_add[:, None], np.float32)[:, 0]),
-            f_rescale=jnp.asarray(padded(h.f_rescale[:, None], np.float32)[:, 0]),
-            f_error=jnp.asarray(padded(h.f_error[:, None], np.float32)[:, 0]),
-            f_add_ex=jnp.asarray(padded(h.f_add_ex[:, None], np.float32)[:, 0]),
-            f_rescale_ex=jnp.asarray(padded(h.f_rescale_ex[:, None], np.float32)[:, 0]),
-            cluster_of=jnp.asarray(cluster_of),
-            valid=jnp.asarray(valid),
-            ids=jnp.asarray(ids_pad),
+            binary=jnp.asarray(padded(h.binary_bits.astype(np.int8), np.int8)[perm]),
+            ex=jnp.asarray(ex_dev[perm]),
+            f_add=jnp.asarray(padded(h.f_add[:, None], np.float32)[:, 0][perm]),
+            f_rescale=jnp.asarray(padded(h.f_rescale[:, None], np.float32)[:, 0][perm]),
+            f_error=jnp.asarray(padded(h.f_error[:, None], np.float32)[:, 0][perm]),
+            f_add_ex=jnp.asarray(padded(h.f_add_ex[:, None], np.float32)[:, 0][perm]),
+            f_rescale_ex=jnp.asarray(padded(h.f_rescale_ex[:, None], np.float32)[:, 0][perm]),
+            cluster_of=jnp.asarray(cluster_of[perm]),
+            valid=jnp.asarray(valid[perm]),
+            ids=jnp.asarray(ids_pad[perm]),
             centroids=jnp.asarray(h.centroids),
         )
 
@@ -437,6 +447,7 @@ class IvfRabitqIndex:
             metric=self.metric,
             ex_bits=self.ex_bits,
             scan_dtype=self.scan_dtype,
+            approx_topk=self.approx_topk,
         )
         return np.asarray(ids)[:b], np.asarray(dists)[:b]
 
@@ -486,7 +497,7 @@ class IvfRabitqIndex:
         idx = h.ids.astype(np.int64)
         safe = idx < allowed_of_id.shape[0]
         mask[:n][safe] = allowed_of_id[idx[safe]]
-        return mask
+        return mask[self._device_perm]  # match the device row layout
 
     # ------------------------------------------------------------------
     # embedding reconstruction (ivf.rs:1247-1307)

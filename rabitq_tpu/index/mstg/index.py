@@ -63,11 +63,19 @@ class MstgHost:
 
 
 class MstgIndex:
-    def __init__(self, config: MstgConfig, dim: int, host: MstgHost, scan_dtype: str = "bf16"):
+    def __init__(
+        self,
+        config: MstgConfig,
+        dim: int,
+        host: MstgHost,
+        scan_dtype: str = "bf16",
+        approx_topk: bool | None = None,
+    ):
         self.config = config
         self.dim = dim
         self.host = host
         self.scan_dtype = scan_dtype
+        self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
         self._device = None
 
     # ------------------------------------------------------------------
@@ -182,15 +190,19 @@ class MstgIndex:
             r = self.total_rows
             rp = max(_ROW_PAD, ((r + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
 
+            from ..scan import device_row_permutation
+
+            perm = device_row_permutation(r, rp)
+
             def pad2(x, dtype):
                 out = np.zeros((rp, x.shape[1]), dtype)
                 out[:r] = x
-                return jnp.asarray(out)
+                return jnp.asarray(out[perm])
 
             def pad1(x):
                 out = np.zeros(rp, np.float32)
                 out[:r] = x
-                return jnp.asarray(out)
+                return jnp.asarray(out[perm])
 
             sizes = np.diff(h.list_offsets)
             cluster_of = np.zeros(rp, np.int32)
@@ -210,9 +222,9 @@ class MstgIndex:
                 f_error=jnp.zeros(rp, jnp.float32),
                 f_add_ex=pad1(h.f_add_ex),
                 f_rescale_ex=pad1(h.f_rescale_ex),
-                cluster_of=jnp.asarray(cluster_of),
-                valid=jnp.asarray(valid),
-                ids=jnp.asarray(ids),
+                cluster_of=jnp.asarray(cluster_of[perm]),
+                valid=jnp.asarray(valid[perm]),
+                ids=jnp.asarray(ids[perm]),
                 centroids=jnp.asarray(h.centroids),
             )
         return self._device
@@ -267,6 +279,7 @@ class MstgIndex:
             refine_ex=self.config.refine_ex,
             clamp_l2=True,
             centroid_select_l2=True,
+            approx_topk=self.approx_topk,
         )
         ids = np.asarray(ids)[:b]
         dists = np.asarray(dists)[:b]

@@ -34,6 +34,23 @@ from ..types import Metric
 from ..ops import estimator as est_ops
 
 
+def device_row_permutation(n: int, n_pad: int, seed: int = 0x5EED) -> "np.ndarray":
+    """Fixed pseudorandom permutation for the device row layout.
+
+    ``approx_max_k`` reduces within contiguous bins; with cluster-sorted
+    rows a query's best candidates are contiguous (same probed cluster) and
+    collide in one bin, which silently costs several points of recall.
+    Scattering rows uniformly restores the op's iid assumption. Padding
+    rows (>= n) stay at the tail.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed + n)
+    perm = np.arange(n_pad, dtype=np.int64)
+    perm[:n] = rng.permutation(n)
+    return perm
+
+
 def _stage1_dots(q_rot: jax.Array, codes: jax.Array, scan_dtype: str) -> jax.Array:
     """<code_row, q> for all rows: q_rot [B, D] f32, codes [N, D] int.
 
@@ -85,6 +102,8 @@ def _stage1_dots(q_rot: jax.Array, codes: jax.Array, scan_dtype: str) -> jax.Arr
         "refine_ex",
         "clamp_l2",
         "centroid_select_l2",
+        "approx_topk",
+        "approx_recall_target",
     ),
 )
 def scan_kernel(
@@ -112,6 +131,8 @@ def scan_kernel(
     refine_ex: bool = True,
     clamp_l2: bool = False,
     centroid_select_l2: bool = False,
+    approx_topk: bool = True,
+    approx_recall_target: float = 0.99,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
@@ -167,7 +188,18 @@ def scan_kernel(
     masked_lb = jnp.where(allowed, lb, jnp.inf)
 
     # --- survivor selection (static-shape replacement of the heap prune) ---
-    neg_lb, cand_idx = jax.lax.top_k(-masked_lb, rerank)  # [B, R]
+    # TPU's native approximate top-k (MIPS TPU paper op) is ~5x faster than
+    # the exact sort-based top_k on [B, N]; the survivors feed an exact
+    # re-rank + exact final top-k, so per-element 0.95 recall on a 40x
+    # over-provisioned survivor set costs ~nothing end to end. Exact
+    # selection remains available (approx_topk=False) and is used by the
+    # parity tests.
+    if approx_topk:
+        neg_lb, cand_idx = jax.lax.approx_max_k(
+            -masked_lb, rerank, recall_target=approx_recall_target
+        )
+    else:
+        neg_lb, cand_idx = jax.lax.top_k(-masked_lb, rerank)  # [B, R]
     cand_ok = neg_lb > -jnp.inf
 
     # --- stage 2: exact f32 re-rank of survivors (ivf.rs:2060-2099) ---
