@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import native as _native
+
 FASTSCAN_BATCH_SIZE = 32  # simd.rs:768
 KPERM0 = np.array([0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15])  # simd.rs:774
 
@@ -33,11 +35,15 @@ KPERM0 = np.array([0, 8, 1, 9, 2, 10, 3, 11, 4, 12, 5, 13, 6, 14, 7, 15])  # sim
 
 def pack_binary(bits: np.ndarray) -> np.ndarray:
     """[..., D] {0,1} -> [..., ceil(D/8)] bytes, MSB-first (simd.rs:141-150)."""
+    if _native.available():
+        return _native.pack_binary(bits)
     return np.packbits(bits.astype(np.uint8), axis=-1, bitorder="big")
 
 
 def unpack_binary(packed: np.ndarray, dim: int) -> np.ndarray:
     """[..., nbytes] -> [..., dim] {0,1} (simd.rs:153-163)."""
+    if _native.available():
+        return _native.unpack_binary(packed, dim)
     return np.unpackbits(packed, axis=-1, bitorder="big")[..., :dim]
 
 
@@ -136,11 +142,14 @@ def pack_ex(ex: np.ndarray, ex_bits: int) -> np.ndarray:
     dim = ex.shape[-1]
     if ex_bits == 0:
         return np.zeros((*ex.shape[:-1], 0), np.uint8)
+    native = _native.available()
     if dim % 16 == 0:
         if ex_bits == 2:
-            return pack_ex_2bit_cpp(ex)
+            return _native.pack_ex_cpp(ex, 2) if native else pack_ex_2bit_cpp(ex)
         if ex_bits == 6:
-            return pack_ex_6bit_cpp(ex)
+            return _native.pack_ex_cpp(ex, 6) if native else pack_ex_6bit_cpp(ex)
+    if native:
+        return _native.pack_ex_generic(ex, ex_bits)
     return pack_ex_generic(ex, ex_bits)
 
 
@@ -148,11 +157,14 @@ def unpack_ex(packed: np.ndarray, dim: int, ex_bits: int) -> np.ndarray:
     """Dispatch matching ``simd::unpack_ex_code`` (``simd.rs:101-134``)."""
     if ex_bits == 0:
         return np.zeros((*packed.shape[:-1], dim), np.uint16)
+    native = _native.available()
     if dim % 16 == 0:
         if ex_bits == 2:
-            return unpack_ex_2bit_cpp(packed, dim)
+            return _native.unpack_ex_cpp(packed, dim, 2) if native else unpack_ex_2bit_cpp(packed, dim)
         if ex_bits == 6:
-            return unpack_ex_6bit_cpp(packed, dim)
+            return _native.unpack_ex_cpp(packed, dim, 6) if native else unpack_ex_6bit_cpp(packed, dim)
+    if native:
+        return _native.unpack_ex_generic(packed, dim, ex_bits)
     return unpack_ex_generic(packed, dim, ex_bits)
 
 
@@ -170,6 +182,8 @@ def pack_codes(packed_rows: np.ndarray) -> np.ndarray:
     """
     nb, bs, dim_bytes = packed_rows.shape
     assert bs == FASTSCAN_BATCH_SIZE
+    if _native.available():
+        return _native.pack_codes(packed_rows)
     col = np.transpose(packed_rows, (0, 2, 1))  # [nb, dim_bytes, 32]
     col0 = col >> 4
     col1 = col & 15
@@ -186,6 +200,8 @@ def unpack_codes(batch_packed: np.ndarray, dim_bytes: int) -> np.ndarray:
     MSB-first packed rows (``unpack_single_vector``, simd.rs:915-960, for
     all 32 lanes at once)."""
     nb = batch_packed.shape[0]
+    if _native.available():
+        return _native.unpack_codes(batch_packed, dim_bytes)
     data = batch_packed.reshape(nb, dim_bytes, 32)
     val0 = data[..., :16]  # [nb, dim_bytes, 16]
     val1 = data[..., 16:]
