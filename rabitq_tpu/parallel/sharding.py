@@ -155,6 +155,79 @@ def sharded_scan(
     )
 
 
+class ShardedIvfIndex:
+    """Row-sharded serving wrapper around a trained ``IvfRabitqIndex``.
+
+    Shards the code planes and per-row factors across a device mesh and
+    serves batched queries with one all-gather candidate merge. Build the
+    index once (single chip or host), then wrap:
+
+        mesh = sharding.make_mesh()
+        sharded = sharding.ShardedIvfIndex(index, mesh)
+        ids, dists = sharded.batch_search_arrays(queries, params)
+    """
+
+    def __init__(self, index, mesh: Mesh | None = None):
+        import numpy as np
+
+        self.index = index
+        self.mesh = mesh or make_mesh()
+        dev = index.device
+        n_dev = self.mesh.shape[SHARD_AXIS]
+        rows = int(dev.binary.shape[0])
+        # pad rows to a multiple of the mesh size
+        pad_to = ((rows + n_dev - 1) // n_dev) * n_dev
+
+        def padded(x):
+            x = np.asarray(x)
+            if x.shape[0] == pad_to:
+                return x
+            out = np.zeros((pad_to, *x.shape[1:]), x.dtype)
+            out[:rows] = x
+            if x.dtype == np.int32 and x.ndim == 1:  # ids padding stays -1
+                pass
+            return out
+
+        ids_np = np.asarray(dev.ids)
+        ids_pad = np.full(pad_to, -1, np.int32)
+        ids_pad[:rows] = ids_np
+        self._rows = shard_rows(
+            self.mesh,
+            padded(dev.binary),
+            padded(dev.ex),
+            padded(dev.f_add),
+            padded(dev.f_rescale),
+            padded(dev.f_error),
+            padded(dev.f_add_ex),
+            padded(dev.f_rescale_ex),
+            padded(dev.cluster_of),
+            padded(dev.valid),
+            ids_pad,
+        )
+        (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
+
+    def batch_search_arrays(self, queries, params):
+        import numpy as np
+        import jax.numpy as jnp
+
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        q_rot = self.index._rotate_jit(jnp.asarray(queries))
+        (q_rep,) = replicate(self.mesh, np.asarray(q_rot))
+        ids, dists = sharded_scan(
+            q_rep,
+            self._centroids,
+            *self._rows,
+            mesh=self.mesh,
+            top_k=params.top_k,
+            nprobe=params.nprobe,
+            rerank=params.resolved_rerank(),
+            metric=self.index.metric,
+            ex_bits=self.index.ex_bits,
+            scan_dtype=self.index.scan_dtype,
+        )
+        return np.asarray(ids), np.asarray(dists)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "block"))
 def sharded_kmeans_step(
     data: jax.Array, centroids: jax.Array, *, mesh: Mesh, k: int, block: int
