@@ -195,9 +195,13 @@ def scan_kernel(
     # selection remains available (approx_topk=False) and is used by the
     # parity tests.
     if approx_topk:
+        # bf16 halves the [B, N] buffer feeding the selection — the largest
+        # HBM tensor in the scan; survivors are re-ranked exactly afterwards
         neg_lb, cand_idx = jax.lax.approx_max_k(
-            -masked_lb, rerank, recall_target=approx_recall_target
+            (-masked_lb).astype(jnp.bfloat16), rerank,
+            recall_target=approx_recall_target,
         )
+        neg_lb = neg_lb.astype(jnp.float32)
     else:
         neg_lb, cand_idx = jax.lax.top_k(-masked_lb, rerank)  # [B, R]
     cand_ok = neg_lb > -jnp.inf
