@@ -42,6 +42,7 @@ from ..ivf import _pad_pow2, _ROW_PAD
 from .config import MstgConfig, MstgSearchParams, ScalarPrecision
 from .clustering import hierarchical_cluster
 from .closure import closure_assign
+from .metadata import PostingListDirectory
 
 _MAGIC = b"MSTG"
 _VERSION = 1001  # distinct from the reference's bincode-v1 multi-file format
@@ -77,6 +78,9 @@ class MstgIndex:
         self.scan_dtype = scan_dtype
         self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
         self._device = None
+        # disk-tier scaffolding (mstg/metadata.rs parity); all lists resident
+        row_bytes = host.binary_bits.shape[1] * 2 if host.binary_bits.size else 0
+        self.directory = PostingListDirectory.from_offsets(host.list_offsets, row_bytes)
 
     # ------------------------------------------------------------------
 
