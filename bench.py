@@ -18,7 +18,9 @@ Prints exactly one JSON line on stdout (progress goes to stderr).
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
+import os
 import sys
 import time
 
@@ -97,10 +99,20 @@ def main():
     data = make_dataset(args.rows, args.dim, max(args.nlist // 2, 8), rng)
     queries = make_dataset(args.queries, args.dim, 8, rng)
 
-    log("computing exact groundtruth ...")
-    t0 = time.time()
-    gt = exact_groundtruth(data, queries, args.top_k)
-    log(f"groundtruth: {time.time()-t0:.1f}s")
+    # groundtruth is deterministic given the config; cache it across runs
+    cache_key = hashlib.sha1(
+        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v1".encode()
+    ).hexdigest()[:16]
+    cache_path = f"/tmp/rabitq_bench_gt_{cache_key}.npy"
+    if os.path.exists(cache_path):
+        gt = np.load(cache_path)
+        log(f"groundtruth: cached ({cache_path})")
+    else:
+        log("computing exact groundtruth ...")
+        t0 = time.time()
+        gt = exact_groundtruth(data, queries, args.top_k)
+        np.save(cache_path, gt)
+        log(f"groundtruth: {time.time()-t0:.1f}s")
 
     log("building index ...")
     t0 = time.time()
