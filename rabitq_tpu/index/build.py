@@ -1,14 +1,18 @@
 """Shared device-resident code-building pipeline.
 
-One jitted program per build: rows stream through rotation (optional),
-per-row centroid gather, and the vectorized RaBitQ quantizer in fixed-size
-chunks under ``lax.map`` — a single dispatch and two bulk transfers
-(data in, codes out) instead of a host round-trip per chunk. Used by the
-IVF, brute-force and MSTG builders.
+One jitted program per build: rows stream through an optional storage-order
+gather, rotation (optional), per-row centroid gather, and the vectorized
+RaBitQ quantizer in fixed-size chunks under ``lax.map``. Used by the IVF,
+brute-force and MSTG builders.
 
 This replaces the reference's rayon per-vector quantization loops
 (``ivf.rs:1157-1183``, ``brute_force.rs:257-275``,
 ``mstg/posting_list.rs:67-107``) with MXU/VPU passes.
+
+Host<->device transfers through this environment's TPU tunnel run at only
+~20-40 MB/s, so the builder is careful to upload the dataset once and keep
+outputs on device (``build_codes_device``); downloading host copies is the
+caller's (lazy) decision.
 """
 
 from __future__ import annotations
@@ -26,12 +30,13 @@ from ..ops.rotation import Rotator
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rotate_fn", "chunk", "ex_bits", "metric", "use_t_const"),
+    static_argnames=("rotate_fn", "chunk", "ex_bits", "metric", "use_t_const", "use_order"),
 )
 def _build_codes_jit(
-    data: jax.Array,  # [N_pad, dim] rows (pre-sorted into storage order)
+    data: jax.Array,  # [N, dim] rows (any order)
     centroids: jax.Array,  # [C, Dq] in quantization space
-    assign: jax.Array,  # [N_pad] int32
+    assign: jax.Array,  # [N_pad] int32, cluster of each OUTPUT row
+    order: jax.Array,  # [N_pad] int32, source row of each OUTPUT row
     t_const: jax.Array,
     *,
     rotate_fn,  # None or a pure fn [m, dim] -> [m, Dq]
@@ -39,12 +44,17 @@ def _build_codes_jit(
     ex_bits: int,
     metric: Metric,
     use_t_const: bool,
+    use_order: bool,
 ):
-    n_pad, dim = data.shape
+    n_pad = assign.shape[0]
     n_chunks = n_pad // chunk
 
     def one(args):
-        blk, a = args
+        ord_c, a = args
+        if use_order:
+            blk = jnp.take(data, ord_c, axis=0)
+        else:
+            blk = jax.lax.dynamic_slice_in_dim(data, ord_c[0], chunk, axis=0)
         if rotate_fn is not None:
             blk = rotate_fn(blk)
         cents = jnp.take(centroids, a, axis=0)
@@ -73,7 +83,7 @@ def _build_codes_jit(
     outs = jax.lax.map(
         one,
         (
-            data.reshape(n_chunks, chunk, dim),
+            order.reshape(n_chunks, chunk),
             assign.reshape(n_chunks, chunk),
         ),
     )
@@ -94,47 +104,88 @@ _FIELDS = (
 )
 
 
-def build_codes(
-    data: np.ndarray,  # [N, dim] rows in desired storage order
-    centroids: np.ndarray,  # [C, Dq] in quantization space
-    assign: np.ndarray,  # [N] cluster of each row
+def build_codes_device(
+    data,  # np.ndarray or jax.Array [N, dim]
+    centroids,  # np.ndarray or jax.Array [C, Dq]
+    assign: np.ndarray,  # [M] cluster of each output row
     *,
     rotator: Rotator | None,
     ex_bits: int,
     metric: Metric,
     use_t_const: bool,
     t_const: float = 0.0,
+    order: np.ndarray | None = None,  # [M] source row per output row
     chunk: int | None = None,
-) -> dict[str, np.ndarray]:
-    """Quantize all rows on device; returns host arrays keyed by field.
+) -> tuple[dict[str, jax.Array], int]:
+    """Quantize rows on device; returns ({field: device array [M_pad, ...]}, M).
 
-    ``binary`` [N, Dq] uint8, ``ex`` [N, Dq] uint16, scalars [N] f32.
+    ``order`` selects and re-orders source rows (e.g. cluster-sorted
+    storage order, or closure-replicated rows); rows are gathered on device
+    so the dataset is uploaded exactly once.
     """
+    m = assign.shape[0]
     n, dim = data.shape
     if chunk is None:
         chunk = 8192 if (use_t_const or ex_bits == 0) else 256
-    chunk = min(chunk, max(128, n))
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    data_pad = np.zeros((n_pad, dim), np.float32)
-    data_pad[:n] = data
-    assign_pad = np.zeros(n_pad, np.int32)
-    assign_pad[:n] = assign
+    chunk = min(chunk, max(128, m))
+    m_pad = ((m + chunk - 1) // chunk) * chunk
+
+    assign_pad = np.zeros(m_pad, np.int32)
+    assign_pad[:m] = assign
+    if order is None:
+        order_arr = np.arange(m_pad, dtype=np.int32) % max(n, 1)
+        use_order = m_pad != n  # padded tail must not run off the end
+    else:
+        order_arr = np.zeros(m_pad, np.int32)
+        order_arr[:m] = order
+        use_order = True
 
     rotate_fn = rotator.rotate if rotator is not None else None
     outs = _build_codes_jit(
-        jnp.asarray(data_pad),
-        jnp.asarray(centroids),
+        data if isinstance(data, jax.Array) else jnp.asarray(np.ascontiguousarray(data, np.float32)),
+        centroids if isinstance(centroids, jax.Array) else jnp.asarray(np.ascontiguousarray(centroids, np.float32)),
         jnp.asarray(assign_pad),
+        jnp.asarray(order_arr),
         jnp.float32(t_const),
         rotate_fn=rotate_fn,
         chunk=chunk,
         ex_bits=ex_bits,
         metric=metric,
         use_t_const=bool(use_t_const and ex_bits > 0),
+        use_order=bool(use_order),
+    )
+    return dict(zip(_FIELDS, outs)), m
+
+
+def build_codes(
+    data: np.ndarray,
+    centroids: np.ndarray,
+    assign: np.ndarray,
+    *,
+    rotator: Rotator | None,
+    ex_bits: int,
+    metric: Metric,
+    use_t_const: bool,
+    t_const: float = 0.0,
+    order: np.ndarray | None = None,
+    chunk: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Host-output convenience wrapper over :func:`build_codes_device`."""
+    dev, m = build_codes_device(
+        data,
+        centroids,
+        assign,
+        rotator=rotator,
+        ex_bits=ex_bits,
+        metric=metric,
+        use_t_const=use_t_const,
+        t_const=t_const,
+        order=order,
+        chunk=chunk,
     )
     result = {}
-    for name, arr in zip(_FIELDS, outs):
-        host = np.asarray(arr)[:n]
+    for name, arr in dev.items():
+        host = np.asarray(arr)[:m]
         if name == "ex":
             host = host.astype(np.uint16)
         result[name] = host

@@ -35,7 +35,10 @@ from ..ops import kmeans as kmeans_ops
 from ..ops import packing
 from ..ops.quantize import QuantizedBatch, compute_const_scaling_factor, quantize_block
 from ..ops.rotation import Rotator, make_rotator
+from ..utils.logging import get_logger, timed
 from .scan import scan_kernel
+
+_log = get_logger("ivf")
 
 _ROT_CHUNK = 65536
 _QUANT_CHUNK_FAST = 8192
@@ -84,6 +87,8 @@ class DeviceIndex:
     valid: jax.Array  # [Np] bool
     ids: jax.Array  # [Np] int32
     centroids: jax.Array  # [C, Dpad] f32
+    delta: jax.Array  # [Np] f32 (reconstruction, kept for lazy host download)
+    vl: jax.Array  # [Np] f32
 
 
 def _rotate_chunked(rotator: Rotator, data: np.ndarray, chunk: int = _ROT_CHUNK) -> np.ndarray:
@@ -126,7 +131,7 @@ class IvfRabitqIndex:
         metric: Metric,
         rotator: Rotator,
         ex_bits: int,
-        host: HostCodes,
+        host: HostCodes | None,
         scan_dtype: str = "bf16",
         approx_topk: bool | None = None,
     ):
@@ -135,7 +140,12 @@ class IvfRabitqIndex:
         self.metric = metric
         self.rotator = rotator
         self.ex_bits = ex_bits
-        self.host = host
+        # host code arrays may be lazily materialized from the device copy
+        # (downloads through the TPU tunnel are slow; only save/fetch need them)
+        self._host = host
+        self._ids = host.ids if host is not None else None
+        self._offsets = host.cluster_offsets if host is not None else None
+        self._centroids_np = host.centroids if host is not None else None
         self.scan_dtype = scan_dtype
         # approximate survivor selection is the fast path; the f32 oracle
         # configuration (used by parity tests) defaults to exact selection
@@ -145,6 +155,42 @@ class IvfRabitqIndex:
         # One persistent jit wrapper — constructing jax.jit per call would
         # retrace and recompile the rotation on every search.
         self._rotate_jit = jax.jit(self.rotator.rotate)
+
+    @property
+    def host(self) -> HostCodes:
+        if self._host is None:
+            self._host = self._download_host()
+        return self._host
+
+    def _download_host(self) -> HostCodes:
+        """Materialize host code arrays from the device copy (inverse of the
+        device row permutation)."""
+        dev = self.device
+        n = int(self._ids.shape[0])
+        # the row stored at host position r sits at device position
+        # pos_of_row[r] (inverse of the device permutation)
+        pos_of_row = np.empty_like(self._device_perm)
+        pos_of_row[self._device_perm] = np.arange(self._device_perm.shape[0])
+        take = jnp.asarray(pos_of_row[:n])
+        with timed(f"download host codes n={n}", _log):
+            binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(np.uint8)
+            ex = np.asarray(jnp.take(dev.ex, take, axis=0)).astype(np.uint16)
+            scalars = {
+                name: np.asarray(jnp.take(getattr(dev, name), take)).astype(np.float32)
+                for name in ("f_add", "f_rescale", "f_error", "f_add_ex", "f_rescale_ex")
+            }
+            delta = np.asarray(jnp.take(dev.delta, take)).astype(np.float32)
+            vl = np.asarray(jnp.take(dev.vl, take)).astype(np.float32)
+        return HostCodes(
+            binary_bits=binary,
+            ex_codes=ex,
+            delta=delta,
+            vl=vl,
+            ids=self._ids,
+            cluster_offsets=self._offsets,
+            centroids=self._centroids_np,
+            **scalars,
+        )
 
     # ------------------------------------------------------------------
     # construction
@@ -167,7 +213,13 @@ class IvfRabitqIndex:
         data, rotate, quantize residuals per cluster."""
         data = np.ascontiguousarray(data, np.float32)
         cls._validate_train_args(data, nlist, total_bits)
-        km = kmeans_ops.run_kmeans(data, nlist, niter=kmeans_iters, seed=seed)
+        with timed(f"upload dataset {data.nbytes/1e6:.0f}MB", _log):
+            data_dev = jnp.asarray(data)
+            data_dev.block_until_ready()
+        with timed(f"kmeans n={data.shape[0]} k={nlist}", _log):
+            km = kmeans_ops.run_kmeans(
+                data, nlist, niter=kmeans_iters, seed=seed, data_dev=data_dev
+            )
         return cls._build(
             data,
             km.centroids,
@@ -178,6 +230,7 @@ class IvfRabitqIndex:
             seed,
             use_faster_config,
             scan_dtype,
+            data_dev=data_dev,
         )
 
     @classmethod
@@ -246,6 +299,7 @@ class IvfRabitqIndex:
         seed: int,
         use_faster_config: bool,
         scan_dtype: str,
+        data_dev: jax.Array | None = None,
     ) -> "IvfRabitqIndex":
         n, dim = data.shape
         nlist = centroids.shape[0]
@@ -253,7 +307,8 @@ class IvfRabitqIndex:
         rotator = make_rotator(dim, rotator_type, seed)
         padded_dim = rotator.padded_dim
 
-        rotated_centroids = np.asarray(jax.jit(rotator.rotate)(jnp.asarray(centroids)))
+        with timed("rotate centroids", _log):
+            rotated_centroids = np.asarray(jax.jit(rotator.rotate)(jnp.asarray(centroids)))
 
         # cluster-sorted row order; within a cluster keep ascending original id
         # (matches the reference's grouping loop, ivf.rs:1141-1149)
@@ -266,33 +321,70 @@ class IvfRabitqIndex:
         if use_faster_config and ex_bits > 0:
             t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
 
-        from .build import build_codes
+        from .build import build_codes_device
 
-        codes = build_codes(
-            data[order],
-            rotated_centroids,
-            assignments[order],
-            rotator=rotator,
-            ex_bits=ex_bits,
-            metric=metric,
-            use_t_const=use_faster_config,
-            t_const=t_const,
+        with timed("quantize+rotate codes", _log):
+            codes_dev, _ = build_codes_device(
+                data_dev if data_dev is not None else data,
+                rotated_centroids,
+                assignments[order],
+                rotator=rotator,
+                ex_bits=ex_bits,
+                metric=metric,
+                use_t_const=use_faster_config,
+                t_const=t_const,
+                order=order,
+            )
+        index = cls(dim, padded_dim, metric, rotator, ex_bits, host=None,
+                    scan_dtype=scan_dtype)
+        index._ids = order.astype(np.int64)
+        index._offsets = offsets
+        index._centroids_np = rotated_centroids
+        index._device = index._device_from_codes(codes_dev, n)
+        return index
+
+    def _device_from_codes(self, codes_dev: dict, n: int) -> DeviceIndex:
+        """Assemble the padded+permuted DeviceIndex from device-resident
+        build outputs (no host round trip)."""
+        from .scan import device_row_permutation
+
+        np_rows = max(_ROW_PAD, ((n + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
+        perm = device_row_permutation(n, np_rows)
+        self._device_perm = perm
+        perm_dev = jnp.asarray(perm)
+
+        sizes = np.diff(self._offsets)
+        cluster_of = np.zeros(np_rows, np.int32)
+        cluster_of[:n] = np.repeat(
+            np.arange(len(sizes), dtype=np.int32), sizes.astype(np.int64)
         )
-        host = HostCodes(
-            binary_bits=codes["binary"],
-            ex_codes=codes["ex"],
-            f_add=codes["f_add"],
-            f_rescale=codes["f_rescale"],
-            f_error=codes["f_error"],
-            f_add_ex=codes["f_add_ex"],
-            f_rescale_ex=codes["f_rescale_ex"],
-            delta=codes["delta"],
-            vl=codes["vl"],
-            ids=order.astype(np.int64),
-            cluster_offsets=offsets,
-            centroids=rotated_centroids,
+        valid = np.zeros(np_rows, bool)
+        valid[:n] = True
+        ids_pad = np.full(np_rows, -1, np.int32)
+        ids_pad[:n] = self._ids.astype(np.int32)
+
+        # trim the chunk padding from build_codes_device, then pad+permute
+        def pp(name, dtype):
+            x = codes_dev[name][:n].astype(dtype)
+            widths = [(0, np_rows - n)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.take(jnp.pad(x, widths), perm_dev, axis=0)
+
+        ex_dtype = jnp.int8 if self.ex_bits <= 7 else jnp.int32
+        return DeviceIndex(
+            binary=pp("binary", jnp.int8),
+            ex=pp("ex", ex_dtype),
+            f_add=pp("f_add", jnp.float32),
+            f_rescale=pp("f_rescale", jnp.float32),
+            f_error=pp("f_error", jnp.float32),
+            f_add_ex=pp("f_add_ex", jnp.float32),
+            f_rescale_ex=pp("f_rescale_ex", jnp.float32),
+            cluster_of=jnp.asarray(cluster_of[perm]),
+            valid=jnp.asarray(valid[perm]),
+            ids=jnp.asarray(ids_pad[perm]),
+            centroids=jnp.asarray(self._centroids_np),
+            delta=pp("delta", jnp.float32),
+            vl=pp("vl", jnp.float32),
         )
-        return cls(dim, padded_dim, metric, rotator, ex_bits, host, scan_dtype)
 
     # ------------------------------------------------------------------
     # device materialization
@@ -345,6 +437,8 @@ class IvfRabitqIndex:
             valid=jnp.asarray(valid[perm]),
             ids=jnp.asarray(ids_pad[perm]),
             centroids=jnp.asarray(h.centroids),
+            delta=jnp.asarray(padded(h.delta[:, None], np.float32)[:, 0][perm]),
+            vl=jnp.asarray(padded(h.vl[:, None], np.float32)[:, 0][perm]),
         )
 
     # ------------------------------------------------------------------
@@ -352,14 +446,14 @@ class IvfRabitqIndex:
     # ------------------------------------------------------------------
 
     def __len__(self) -> int:
-        return int(self.host.binary_bits.shape[0])
+        return int(self._ids.shape[0])
 
     @property
     def is_empty(self) -> bool:
         return len(self) == 0
 
     def cluster_count(self) -> int:
-        return int(self.host.cluster_offsets.shape[0] - 1)
+        return int(self._offsets.shape[0] - 1)
 
     # ------------------------------------------------------------------
     # search
@@ -482,19 +576,19 @@ class IvfRabitqIndex:
 
     def _row_filter(self, filter_ids: np.ndarray) -> np.ndarray:
         """Convert an allowed-id set into a per-row bool mask."""
-        h = self.host
-        n = h.binary_bits.shape[0]
+        ids = self._ids
+        n = ids.shape[0]
         np_rows = self.device.binary.shape[0]
         filter_ids = np.asarray(filter_ids)
         if filter_ids.dtype == bool:
             allowed_of_id = filter_ids
         else:
-            max_id = int(h.ids.max(initial=0))
+            max_id = int(ids.max(initial=0))
             allowed_of_id = np.zeros(max_id + 1, bool)
             in_range = filter_ids[filter_ids <= max_id]
             allowed_of_id[in_range.astype(np.int64)] = True
         mask = np.zeros(np_rows, bool)
-        idx = h.ids.astype(np.int64)
+        idx = ids.astype(np.int64)
         safe = idx < allowed_of_id.shape[0]
         mask[:n][safe] = allowed_of_id[idx[safe]]
         return mask[self._device_perm]  # match the device row layout

@@ -66,20 +66,29 @@ def closure_assign(
     epsilon: float,
     max_replicas: int,
     chunk: int = 8192,
+    data_dev: jax.Array | None = None,
 ) -> list[np.ndarray]:
-    """Per-cluster member lists (row indices) after closure assignment."""
-    data = np.ascontiguousarray(data, np.float32)
+    """Per-cluster member lists (row indices) after closure assignment.
+
+    Pass ``data_dev`` to reuse an already-uploaded device copy of the rows
+    (chunks are then sliced on device)."""
     centroids = np.ascontiguousarray(centroids, np.float32)
-    n = data.shape[0]
+    n, dim = data.shape
     n_clusters = centroids.shape[0]
     members: list[list[int]] = [[] for _ in range(n_clusters)]
     cent_dev = jnp.asarray(centroids)
+    if data_dev is None:
+        data_dev = jnp.asarray(np.ascontiguousarray(data, np.float32))
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        data_dev = jnp.concatenate(
+            [data_dev, jnp.zeros((n_pad - n, dim), jnp.float32)]
+        )
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
-        blk = np.zeros((chunk, data.shape[1]), np.float32)
-        blk[: e - s] = data[s:e]
+        blk = jax.lax.dynamic_slice_in_dim(data_dev, s, chunk, axis=0)
         cand, selected = _closure_chunk(
-            jnp.asarray(blk), cent_dev, float(epsilon), int(max_replicas)
+            blk, cent_dev, float(epsilon), int(max_replicas)
         )
         cand = np.asarray(cand)[: e - s]
         selected = np.asarray(selected)[: e - s]

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ...ops.kmeans import run_kmeans
 
 
@@ -38,11 +40,14 @@ def hierarchical_cluster(
     balance_weight: float = 1.0,
     kmeans_iters: int = 25,
     seed: int = 42,
+    data_dev=None,
 ) -> ClusterSet:
     data = np.ascontiguousarray(data, np.float32)
     n = data.shape[0]
     if n == 0:
         return ClusterSet(members=[], centroids=np.zeros((0, data.shape[1]), np.float32))
+    if data_dev is None:
+        data_dev = jnp.asarray(data)  # uploaded once; splits gather on device
 
     active: list[np.ndarray] = [np.arange(n, dtype=np.int64)]
     final: list[np.ndarray] = []
@@ -55,7 +60,10 @@ def hierarchical_cluster(
         split_round += 1
         sub = data[idx]
         k = min(branching_factor, sub.shape[0])
-        km = run_kmeans(sub, k, niter=kmeans_iters, seed=seed + split_round)
+        sub_dev = jnp.take(data_dev, jnp.asarray(idx), axis=0)
+        km = run_kmeans(
+            sub, k, niter=kmeans_iters, seed=seed + split_round, data_dev=sub_dev
+        )
         groups = [idx[km.assignments == c] for c in range(k)]
         if balance_weight > 0.0:
             groups = _rebalance(sub, idx, groups, km.centroids, balance_weight)

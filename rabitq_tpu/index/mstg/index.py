@@ -98,6 +98,7 @@ class MstgIndex:
         if data.size == 0:
             raise InvalidConfig("cannot build index from empty data")
         n, dim = data.shape
+        data_dev = jnp.asarray(data)  # single upload reused by every stage
 
         # Step 1: hierarchical balanced clustering
         clusters = hierarchical_cluster(
@@ -106,12 +107,14 @@ class MstgIndex:
             branching_factor=config.branching_factor,
             balance_weight=config.balance_weight,
             seed=seed,
+            data_dev=data_dev,
         )
         centroids = clusters.centroids
 
         # Step 2: closure assignment with the RNG rule
         members = closure_assign(
-            data, centroids, config.closure_epsilon, config.max_replicas
+            data, centroids, config.closure_epsilon, config.max_replicas,
+            data_dev=data_dev,
         )
 
         # Step 3: per-posting-list residual quantization (original space)
@@ -132,7 +135,7 @@ class MstgIndex:
         from ..build import build_codes
 
         codes = build_codes(
-            data[ids],
+            data_dev,
             centroids,
             row_list,
             rotator=None,  # MSTG quantizes in the original space
@@ -140,6 +143,7 @@ class MstgIndex:
             metric=config.metric,
             use_t_const=config.faster_config,
             t_const=t_const,
+            order=ids,  # closure-replicated rows gathered on device
         )
         host = MstgHost(
             binary_bits=codes["binary"],

@@ -70,8 +70,8 @@ def _assign_blocks(data: jax.Array, centroids: jax.Array, block: int):
     return assign.reshape(n), dists.reshape(n)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_valid"))
-def _kmeanspp_init(data: jax.Array, key: jax.Array, k: int, n_valid: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmeanspp_init(data: jax.Array, key: jax.Array, k: int, n_valid) -> jax.Array:
     """k-means++ (D^2-weighted) seeding, entirely on device.
 
     ``data`` [N, D] (rows >= n_valid are padding and excluded). One
@@ -103,10 +103,47 @@ def _kmeanspp_init(data: jax.Array, key: jax.Array, k: int, n_valid: int) -> jax
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "niter", "block", "n_valid", "spherical")
+    jax.jit, static_argnames=("k", "block", "spherical")
 )
+def _lloyd_step(
+    data: jax.Array,  # [N_pad, D], rows >= n_valid are padding
+    centroids: jax.Array,
+    k: int,
+    block: int,
+    n_valid,  # traced: varying cluster sizes must not recompile
+    spherical: bool,
+) -> jax.Array:
+    """One Lloyd iteration on device: blockwise assignment, segment-sum
+    update, empty-cluster reseed from far points (``kmeans.rs:564-602``).
+
+    Jitted per-step (not one fused niter-long program): the carry stays on
+    device between dispatches, and the much smaller program compiles ~10x
+    faster on a remote-compile backend while the per-step dispatch cost is
+    negligible against the compute.
+    """
+    n, d = data.shape
+    row_valid = jnp.arange(n) < n_valid
+    assign, dists = _assign_blocks(data, centroids, block)
+    assign = jnp.where(row_valid, assign, k)  # padding -> scratch segment
+    sums = jax.ops.segment_sum(data, assign, num_segments=k + 1)[:k]
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.float32), assign, num_segments=k + 1
+    )[:k]
+    new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+    empty = counts == 0
+    far_d = jnp.where(row_valid, dists, -jnp.inf)
+    _, far_idx = jax.lax.top_k(far_d, RESEED_CANDIDATES)
+    rank = jnp.clip(jnp.cumsum(empty.astype(jnp.int32)) - 1, 0, RESEED_CANDIDATES - 1)
+    reseed = data[far_idx[rank]]
+    new_c = jnp.where(empty[:, None], reseed, new_c)
+    if spherical:
+        norms = jnp.linalg.norm(new_c, axis=-1, keepdims=True)
+        new_c = jnp.where(norms > 0, new_c / jnp.maximum(norms, 1e-30), new_c)
+    return new_c
+
+
 def _kmeans_device(
-    data: jax.Array,  # [N_pad, D], rows >= n_valid are zero padding
+    data: jax.Array,
     key: jax.Array,
     k: int,
     niter: int,
@@ -114,37 +151,11 @@ def _kmeans_device(
     n_valid: int,
     spherical: bool,
 ) -> jax.Array:
-    """Full k-means (init + ``niter`` Lloyd iterations) as one program.
-
-    Returns centroids [k, D]. Padded rows are assigned to a scratch
-    segment k and dropped from the update. Empty clusters reseed from the
-    current farthest points (``kmeans.rs:564-602``), on device.
-    """
-    n, d = data.shape
-    row_valid = jnp.arange(n) < n_valid
-    centroids0 = _kmeanspp_init(data, key, k, n_valid)
-
-    def step(i, centroids):
-        assign, dists = _assign_blocks(data, centroids, block)
-        assign = jnp.where(row_valid, assign, k)  # padding -> scratch segment
-        sums = jax.ops.segment_sum(data, assign, num_segments=k + 1)[:k]
-        counts = jax.ops.segment_sum(
-            jnp.ones((n,), jnp.float32), assign, num_segments=k + 1
-        )[:k]
-        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
-        # on-device empty-cluster reseed from far points
-        empty = counts == 0
-        far_d = jnp.where(row_valid, dists, -jnp.inf)
-        _, far_idx = jax.lax.top_k(far_d, RESEED_CANDIDATES)
-        rank = jnp.clip(jnp.cumsum(empty.astype(jnp.int32)) - 1, 0, RESEED_CANDIDATES - 1)
-        reseed = data[far_idx[rank]]
-        new_c = jnp.where(empty[:, None], reseed, new_c)
-        if spherical:
-            norms = jnp.linalg.norm(new_c, axis=-1, keepdims=True)
-            new_c = jnp.where(norms > 0, new_c / jnp.maximum(norms, 1e-30), new_c)
-        return new_c
-
-    return jax.lax.fori_loop(0, niter, step, centroids0)
+    """k-means++ init + niter Lloyd steps; carry stays device-resident."""
+    centroids = _kmeanspp_init(data, key, k, n_valid)
+    for _ in range(niter):
+        centroids = _lloyd_step(data, centroids, k, block, n_valid, spherical)
+    return centroids
 
 
 def run_kmeans(
@@ -155,33 +166,43 @@ def run_kmeans(
     nredo: int = 1,
     spherical: bool = False,
     max_points_per_centroid: int = DEFAULT_MAX_POINTS_PER_CENTROID,
+    data_dev: jax.Array | None = None,
 ) -> KMeansResult:
     """Run k-means. ``data`` [N, D] float32 (host).
 
-    Deterministic for a given seed (matches the property asserted by
-    ``kmeans.rs:757-780``).
+    Pass ``data_dev`` (the same rows already on device) to avoid
+    re-uploading the dataset — transfers dominate build time behind a slow
+    device tunnel. Deterministic for a given seed (matches the property
+    asserted by ``kmeans.rs:757-780``).
     """
-    data = np.ascontiguousarray(data, dtype=np.float32)
-    n, dim = data.shape
+    if data_dev is None:
+        data = np.ascontiguousarray(data, dtype=np.float32)
+        data_dev = jnp.asarray(data)
+    n, dim = data_dev.shape
     assert 0 < k <= n, "k must be in (0, len(data)]"
     assert niter > 0
 
     rng = np.random.default_rng(seed)
     # --- training subset (kmeans.rs:210-226) ---
     target = max(min(n, k * max_points_per_centroid), k)
+    block = _block_size(k)
     if target < n:
         idx = rng.permutation(n)[:target]
         idx.sort()
-        train = data[idx]
+        nt = target
+        nt_pad = ((nt + block - 1) // block) * block
+        idx_pad = np.zeros(nt_pad, np.int64)
+        idx_pad[:nt] = idx
+        train_dev = jnp.take(data_dev, jnp.asarray(idx_pad), axis=0)
     else:
-        train = data
-    nt = train.shape[0]
-
-    block = _block_size(k)
-    nt_pad = ((nt + block - 1) // block) * block
-    train_pad = np.zeros((nt_pad, dim), np.float32)
-    train_pad[:nt] = train
-    train_dev = jnp.asarray(train_pad)
+        nt = n
+        nt_pad = ((nt + block - 1) // block) * block
+        if nt_pad == n:
+            train_dev = data_dev
+        else:
+            train_dev = jnp.concatenate(
+                [data_dev, jnp.zeros((nt_pad - n, dim), jnp.float32)]
+            )
 
     best: KMeansResult | None = None
     for redo in range(nredo):
@@ -189,7 +210,9 @@ def run_kmeans(
         centroids = np.asarray(
             _kmeans_device(train_dev, key, k, niter, block, nt, spherical)
         )
-        assignments, objective = assign_dataset(data, centroids, block=block)
+        assignments, objective = assign_dataset(
+            data_dev, centroids, block=block, n_valid=n
+        )
         result = KMeansResult(
             centroids=centroids, assignments=assignments, objective=objective
         )
@@ -200,22 +223,31 @@ def run_kmeans(
 
 
 def assign_dataset(
-    data: np.ndarray, centroids: np.ndarray, block: int | None = None
+    data, centroids: np.ndarray, block: int | None = None, n_valid: int | None = None
 ) -> tuple[np.ndarray, float]:
-    """Assign every row of ``data`` to its nearest centroid
-    (``kmeans.rs:604-642``).
+    """Assign every row of ``data`` (host or device array) to its nearest
+    centroid (``kmeans.rs:604-642``).
 
     Returns (assignments [N] int32, objective = sum of min squared dists).
     """
-    data = np.ascontiguousarray(data, dtype=np.float32)
     n, dim = data.shape
+    if n_valid is None:
+        n_valid = n
     k = centroids.shape[0]
     if block is None:
         block = _block_size(k)
     n_pad = ((n + block - 1) // block) * block
-    data_pad = np.zeros((n_pad, dim), np.float32)
-    data_pad[:n] = data
-    assign, dists = _assign_blocks(jnp.asarray(data_pad), jnp.asarray(centroids), block)
-    assign = np.asarray(assign)[:n]
-    objective = float(np.sum(np.asarray(dists)[:n], dtype=np.float64))
+    if isinstance(data, jax.Array):
+        data_dev = (
+            data
+            if n_pad == n
+            else jnp.concatenate([data, jnp.zeros((n_pad - n, dim), jnp.float32)])
+        )
+    else:
+        data_pad = np.zeros((n_pad, dim), np.float32)
+        data_pad[:n] = np.ascontiguousarray(data, np.float32)
+        data_dev = jnp.asarray(data_pad)
+    assign, dists = _assign_blocks(data_dev, jnp.asarray(centroids), block)
+    assign = np.asarray(assign)[:n_valid]
+    objective = float(np.sum(np.asarray(dists)[:n_valid], dtype=np.float64))
     return assign, objective
