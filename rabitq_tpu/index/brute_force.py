@@ -164,7 +164,13 @@ class BruteForceRabitqIndex:
             valid[:n] = True
             ids = np.full(np_rows, -1, np.int32)
             ids[:n] = np.arange(n, dtype=np.int32)
-            ex_dtype = np.int8 if self.ex_bits <= 7 else np.int32
+            if 1 <= self.ex_bits <= 7:
+                refine_plane = (h.ex_codes.astype(np.uint8)
+                                + (h.binary_bits.astype(np.uint8) << self.ex_bits))
+                ex_dtype = np.int8
+            else:
+                refine_plane = h.ex_codes
+                ex_dtype = np.int8 if self.ex_bits <= 7 else np.int32
             from .scan import device_row_permutation
 
             perm = device_row_permutation(n, np_rows)
@@ -175,7 +181,7 @@ class BruteForceRabitqIndex:
 
             self._device = dict(
                 binary=permuted(pad2(h.binary_bits.astype(np.int8), np.int8)),
-                ex=permuted(pad2(h.ex_codes.astype(ex_dtype), ex_dtype)),
+                ex=permuted(pad2(refine_plane.astype(ex_dtype), ex_dtype)),
                 f_add=permuted(pad1(h.f_add)),
                 f_rescale=permuted(pad1(h.f_rescale)),
                 f_error=permuted(pad1(h.f_error)),

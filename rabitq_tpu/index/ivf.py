@@ -175,6 +175,9 @@ class IvfRabitqIndex:
         with timed(f"download host codes n={n}", _log):
             binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(np.uint8)
             ex = np.asarray(jnp.take(dev.ex, take, axis=0)).astype(np.uint16)
+            if 1 <= self.ex_bits <= 7:
+                # the device refine plane stores total codes; recover ex
+                ex = (ex.astype(np.int32) - (binary.astype(np.int32) << self.ex_bits)).astype(np.uint16)
             scalars = {
                 name: np.asarray(jnp.take(getattr(dev, name), take)).astype(np.float32)
                 for name in ("f_add", "f_rescale", "f_error", "f_add_ex", "f_rescale_ex")
@@ -369,6 +372,12 @@ class IvfRabitqIndex:
             widths = [(0, np_rows - n)] + [(0, 0)] * (x.ndim - 1)
             return jnp.take(jnp.pad(x, widths), perm_dev, axis=0)
 
+        # refine plane: total codes for 1<=ex_bits<=7 (see scan_kernel)
+        if 1 <= self.ex_bits <= 7:
+            total = codes_dev["ex"][:n].astype(jnp.uint8) + (
+                codes_dev["binary"][:n].astype(jnp.uint8) << self.ex_bits
+            )
+            codes_dev = dict(codes_dev, ex=total)
         ex_dtype = jnp.int8 if self.ex_bits <= 7 else jnp.int32
         return DeviceIndex(
             binary=pp("binary", jnp.int8),
@@ -416,7 +425,12 @@ class IvfRabitqIndex:
         valid[:n] = True
         ids_pad = np.full(np_rows, -1, np.int32)
         ids_pad[:n] = h.ids.astype(np.int32)
-        if self.ex_bits <= 7:
+        if 1 <= self.ex_bits <= 7:
+            total = h.ex_codes.astype(np.uint8) + (
+                h.binary_bits.astype(np.uint8) << self.ex_bits
+            )
+            ex_dev = padded(total.astype(np.int8), np.int8)
+        elif self.ex_bits == 0:
             ex_dev = padded(h.ex_codes.astype(np.int8), np.int8)
         else:  # >7 magnitude bits do not fit int8; keep exact in f32-capable i32
             ex_dev = padded(h.ex_codes.astype(np.int32), np.int32)

@@ -220,10 +220,16 @@ class MstgIndex:
             ids = np.full(rp, -1, np.int32)
             ids[:r] = h.ids.astype(np.int32)
             ex_bits = self.config.rabitq_bits - 1
-            ex_dtype = np.int8 if ex_bits <= 7 else np.int32
+            if 1 <= ex_bits <= 7:
+                refine_plane = (h.ex_codes.astype(np.uint8)
+                                + (h.binary_bits.astype(np.uint8) << ex_bits))
+                ex_dtype = np.int8
+            else:
+                refine_plane = h.ex_codes
+                ex_dtype = np.int8 if ex_bits <= 7 else np.int32
             self._device = dict(
                 binary=pad2(h.binary_bits.astype(np.int8), np.int8),
-                ex=pad2(h.ex_codes.astype(ex_dtype), ex_dtype),
+                ex=pad2(refine_plane.astype(ex_dtype), ex_dtype),
                 f_add=pad1(h.f_add),
                 f_rescale=pad1(h.f_rescale),
                 # reference MSTG zeroes f_error in its scan (mstg/index.rs:285)

@@ -110,7 +110,12 @@ def scan_kernel(
     q_rot: jax.Array,  # [B, Dpad] f32 rotated queries
     centroids: jax.Array,  # [C, Dpad] f32 rotated centroids
     binary: jax.Array,  # [Np, Dpad] int8 {0,1}
-    ex: jax.Array,  # [Np, Dpad] int8 (all-zero if ex_bits == 0)
+    # Refine plane. INVARIANT: for 1 <= ex_bits <= 7 this holds the TOTAL
+    # codes (binary << ex_bits | ex, <= 127 so int8 fits) — the extended
+    # estimator only needs <total, q>, so the survivor re-rank does ONE
+    # gather+dot instead of two. For ex_bits > 7 it holds raw ex codes
+    # (int32) and the two-term formula is used.
+    ex: jax.Array,
     f_add: jax.Array,  # [Np] f32
     f_rescale: jax.Array,
     f_error: jax.Array,
@@ -206,13 +211,38 @@ def scan_kernel(
         neg_lb, cand_idx = jax.lax.top_k(-masked_lb, rerank)  # [B, R]
     cand_ok = neg_lb > -jnp.inf
 
-    # --- stage 2: exact f32 re-rank of survivors (ivf.rs:2060-2099) ---
-    b_cand = jnp.take(binary, cand_idx, axis=0).astype(jnp.float32)  # [B, R, D]
-    bdot_c = jnp.einsum("brd,bd->br", b_cand, q_rot)
+    # --- stage 2: high-precision re-rank of survivors (ivf.rs:2060-2099) ---
+    # Integer codes <= 127 are EXACT in bf16, so bf16 operands with f32
+    # accumulation only round the query (2^-9 relative — far below the
+    # quantization error and the reference's own i8-LUT stage); it halves
+    # the conversion buffer feeding the MXU. The f32 oracle config keeps
+    # full f32 operands.
+    op_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
+
+    def _dot(codes_gathered, q):
+        return jnp.einsum(
+            "brd,bd->br",
+            codes_gathered.astype(op_dtype),
+            q.astype(op_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
     g_add_c = jnp.take_along_axis(g_add, jnp.take(cluster_of, cand_idx), axis=1)
-    if ex_bits > 0 and refine_ex:
-        e_cand = jnp.take(ex, cand_idx, axis=0).astype(jnp.float32)
-        edot_c = jnp.einsum("brd,bd->br", e_cand, q_rot)
+    ex_is_total = 1 <= ex_bits <= 7
+    if ex_bits > 0 and refine_ex and ex_is_total:
+        # single gather: <total, q> == binary_scale * bdot + edot exactly
+        t_cand = jnp.take(ex, cand_idx, axis=0)  # [B, R, D]
+        tdot_c = _dot(t_cand, q_rot)
+        total_term = tdot_c + qc.kbx_sum_q[:, None]
+        dist = (
+            jnp.take(f_add_ex, cand_idx)
+            + g_add_c
+            + jnp.take(f_rescale_ex, cand_idx) * total_term
+        )
+    elif ex_bits > 0 and refine_ex:
+        bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
+        edot_c = jnp.take(ex, cand_idx, axis=0).astype(jnp.float32)
+        edot_c = jnp.einsum("brd,bd->br", edot_c, q_rot)  # may exceed 127: f32
         dist = est_ops.est_extended(
             jnp.take(f_add_ex, cand_idx),
             g_add_c,
@@ -223,6 +253,7 @@ def scan_kernel(
             qc.kbx_sum_q[:, None],
         )
     else:
+        bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
         dist = est_ops.est_1bit(
             jnp.take(f_add, cand_idx),
             g_add_c,
