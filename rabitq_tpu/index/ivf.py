@@ -152,6 +152,7 @@ class IvfRabitqIndex:
         self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
         self._device: DeviceIndex | None = None
         self._device_perm: np.ndarray | None = None
+        self._packed: jax.Array | None = None  # bitplane plane (scan_dtype="packed")
         # One persistent jit wrapper — constructing jax.jit per call would
         # retrace and recompile the rotation on every search.
         self._rotate_jit = jax.jit(self.rotator.rotate)
@@ -525,6 +526,13 @@ class IvfRabitqIndex:
             return (np.full((b, 0), -1, np.int32), np.full((b, 0), np.inf, np.float32))
 
         dev = self.device
+        packed = None
+        if self.scan_dtype == "packed":
+            if self._packed is None:
+                from ..ops.pallas_scan import pack_bitplanes
+
+                self._packed = pack_bitplanes(dev.binary, self.padded_dim)
+            packed = self._packed
         row_allowed = dev.valid
         if filter_ids is not None:
             mask = self._row_filter(filter_ids)
@@ -549,6 +557,7 @@ class IvfRabitqIndex:
             dev.cluster_of,
             row_allowed,
             dev.ids,
+            packed=packed,
             top_k=params.top_k,
             nprobe=params.nprobe,
             rerank=params.resolved_rerank(),

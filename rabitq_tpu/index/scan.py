@@ -126,6 +126,7 @@ def scan_kernel(
     ids: jax.Array,  # [Np] int32 original vector ids
     nprobe: jax.Array | int = 1,  # traced: sweeping nprobe does not recompile
     prune_epsilon: jax.Array | float = 0.0,  # traced (MSTG dynamic pruning)
+    packed: jax.Array | None = None,  # [Np, Db] uint8 bitplanes (scan_dtype="packed")
     *,
     top_k: int,
     rerank: int,
@@ -180,17 +181,39 @@ def scan_kernel(
     probe_mask = probe_mask.at[jnp.arange(b)[:, None], ranked].max(within)
 
     # --- stage 1: dense 1-bit estimate for every row ---
-    bdot = _stage1_dots(q_rot, binary, scan_dtype)  # [B, Np]
-    g_add_rows = jnp.take(g_add, cluster_of, axis=1)  # [B, Np]
-    g_err_rows = jnp.take(g_error, cluster_of, axis=1)
-    est = est_ops.est_1bit(
-        f_add[None, :], g_add_rows, f_rescale[None, :], bdot, qc.k1x_sum_q[:, None]
-    )
-    lb = est_ops.lower_bound(est, f_error[None, :], g_err_rows)
-    # Non-finite lower bounds fall back to "never prune" (ivf.rs:2031-2042).
-    lb = jnp.where(jnp.isfinite(lb), lb, -jnp.inf)
+    # bf16 gathers: these [B, Np] planes are pure HBM traffic; g-term
+    # magnitudes are distances, so 2^-9 relative rounding is far below the
+    # quantization error. The f32 oracle path keeps full precision.
+    g_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
+    g_add_rows = jnp.take(g_add.astype(g_dtype), cluster_of, axis=1)  # [B, Np]
+    g_err_rows = jnp.take(g_error.astype(g_dtype), cluster_of, axis=1)
     allowed = jnp.take(probe_mask, cluster_of, axis=1) & row_allowed[None, :]
-    masked_lb = jnp.where(allowed, lb, jnp.inf)
+    if scan_dtype == "packed":
+        # fused Pallas kernel over 1-bit/dim packed codes: 8x less code
+        # traffic and no [B, N] int32 accumulator in HBM (ops/pallas_scan.py)
+        from ..ops.pallas_scan import packed_lb_scan, permute_query
+
+        assert packed is not None, "scan_dtype='packed' requires the packed plane"
+        q_perm = permute_query(q_rot, d)
+        g_comb = jnp.where(
+            allowed,
+            g_add_rows - f_error[None, :] * g_err_rows,
+            jnp.inf,
+        ).astype(jnp.bfloat16)
+        lb16 = packed_lb_scan(
+            packed, q_perm, f_add, f_rescale, qc.k1x_sum_q, g_comb
+        )
+        # NaN -> never prune (keep); the +inf drop-mask must survive
+        masked_lb = jnp.where(jnp.isnan(lb16), -jnp.inf, lb16.astype(jnp.float32))
+    else:
+        bdot = _stage1_dots(q_rot, binary, scan_dtype)  # [B, Np]
+        est = est_ops.est_1bit(
+            f_add[None, :], g_add_rows, f_rescale[None, :], bdot, qc.k1x_sum_q[:, None]
+        )
+        lb = est_ops.lower_bound(est, f_error[None, :], g_err_rows)
+        # Non-finite lower bounds fall back to "never prune" (ivf.rs:2031-2042).
+        lb = jnp.where(jnp.isfinite(lb), lb, -jnp.inf)
+        masked_lb = jnp.where(allowed, lb, jnp.inf)
 
     # --- survivor selection (static-shape replacement of the heap prune) ---
     # TPU's native approximate top-k (MIPS TPU paper op) is ~5x faster than
