@@ -53,6 +53,20 @@ def fht(x: jax.Array) -> jax.Array:
     return x
 
 
+def _fht_dispatch(x: jax.Array) -> jax.Array:
+    """FHT via the Pallas kernel on TPU, XLA butterflies elsewhere."""
+    n = x.shape[-1]
+    if jax.default_backend() == "tpu":
+        from .pallas_fht import fht_pallas, fht_supported
+
+        batch = 1
+        for s in x.shape[:-1]:
+            batch *= s
+        if fht_supported(n, batch):
+            return fht_pallas(x)
+    return fht(x)
+
+
 def kacs_walk(x: jax.Array) -> jax.Array:
     """Kac's walk mixing step (``rotation.rs:315-324``): split the vector in
     halves and replace them with (a+b, a-b). Self-inverse up to a factor 2."""
@@ -121,16 +135,16 @@ class FhtKacRotator:
         if trunc == padded:
             for r in range(4):
                 out = out * self._signs[r]
-                out = fht(out) * fac
+                out = _fht_dispatch(out) * fac
         else:
             start = padded - trunc
             for r in range(4):
                 out = out * self._signs[r]
                 if r % 2 == 0:
-                    head = fht(out[..., :trunc]) * fac
+                    head = _fht_dispatch(out[..., :trunc]) * fac
                     out = jnp.concatenate([head, out[..., trunc:]], axis=-1)
                 else:
-                    tail = fht(out[..., start:]) * fac
+                    tail = _fht_dispatch(out[..., start:]) * fac
                     out = jnp.concatenate([out[..., :start], tail], axis=-1)
                 out = kacs_walk(out)
             out = out * 0.25
@@ -145,7 +159,7 @@ class FhtKacRotator:
         out = y
         if trunc == padded:
             for r in reversed(range(4)):
-                out = fht(out / fac) / float(padded)
+                out = _fht_dispatch(out / fac) / float(padded)
                 out = out * self._signs[r]
         else:
             start = padded - trunc
@@ -153,10 +167,10 @@ class FhtKacRotator:
             for r in reversed(range(4)):
                 out = kacs_walk(out * 0.5)
                 if r % 2 == 0:
-                    head = fht(out[..., :trunc] / fac) / float(trunc)
+                    head = _fht_dispatch(out[..., :trunc] / fac) / float(trunc)
                     out = jnp.concatenate([head, out[..., trunc:]], axis=-1)
                 else:
-                    tail = fht(out[..., start:] / fac) / float(trunc)
+                    tail = _fht_dispatch(out[..., start:] / fac) / float(trunc)
                     out = jnp.concatenate([out[..., :start], tail], axis=-1)
                 out = out * self._signs[r]
         return out[..., : self.dim]
