@@ -23,10 +23,10 @@ import jax.numpy as jnp
 
 from ..errors import DimensionMismatch, EmptyIndex, InvalidConfig
 from ..types import Metric, RotatorType, SearchResult
-from ..ops.quantize import QuantizedBatch, compute_const_scaling_factor, quantize_block
+from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from .scan import scan_kernel
-from .ivf import _pad_pow2, _ROW_PAD, _QUANT_CHUNK_FAST, _QUANT_CHUNK_EXACT
+from .ivf import _pad_pow2, _ROW_PAD
 
 
 @dataclass(frozen=True)

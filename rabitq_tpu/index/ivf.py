@@ -33,16 +33,13 @@ from ..errors import DimensionMismatch, EmptyIndex, InvalidConfig
 from ..types import Metric, RotatorType, SearchParams, SearchResult
 from ..ops import kmeans as kmeans_ops
 from ..ops import packing
-from ..ops.quantize import QuantizedBatch, compute_const_scaling_factor, quantize_block
+from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from ..utils.logging import get_logger, timed
 from .scan import scan_kernel
 
 _log = get_logger("ivf")
 
-_ROT_CHUNK = 65536
-_QUANT_CHUNK_FAST = 8192
-_QUANT_CHUNK_EXACT = 256
 _ROW_PAD = 128  # device row padding multiple
 
 
@@ -89,19 +86,6 @@ class DeviceIndex:
     centroids: jax.Array  # [C, Dpad] f32
     delta: jax.Array  # [Np] f32 (reconstruction, kept for lazy host download)
     vl: jax.Array  # [Np] f32
-
-
-def _rotate_chunked(rotator: Rotator, data: np.ndarray, chunk: int = _ROT_CHUNK) -> np.ndarray:
-    """Rotate [N, dim] -> [N, Dpad] f32 in fixed-shape device chunks."""
-    n = data.shape[0]
-    out = np.empty((n, rotator.padded_dim), np.float32)
-    rot = jax.jit(rotator.rotate)
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        blk = np.zeros((chunk, data.shape[1]), np.float32)
-        blk[: e - s] = data[s:e]
-        out[s:e] = np.asarray(rot(jnp.asarray(blk)))[: e - s]
-    return out
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

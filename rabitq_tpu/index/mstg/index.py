@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ...errors import DimensionMismatch, EmptyIndex, InvalidConfig, InvalidPersistence
 from ...types import Metric, SearchResult
 from ...ops import packing
-from ...ops.quantize import compute_const_scaling_factor, quantize_block
+from ...ops.quantize import compute_const_scaling_factor
 from ..scan import scan_kernel
 from ..ivf import _pad_pow2, _ROW_PAD
 from .config import MstgConfig, MstgSearchParams, ScalarPrecision

@@ -183,3 +183,27 @@ def test_empty_and_validation(rng):
     with pytest.raises(Exception):
         index.search(np.zeros(8, np.float32), SearchParams(5, 5))
     assert index.search(data[0], SearchParams(top_k=0, nprobe=5)) == []
+
+
+def test_search_diagnostics(rng):
+    """Diagnostics counters (ivf.rs:150-155); 1-bit search must report zero
+    extended evaluations (tests.rs:344)."""
+    data = _dataset(rng, 500, 32)
+    ix7 = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=1, scan_dtype="f32")
+    _, d7 = ix7.search_with_diagnostics(data[0], SearchParams(10, 4))
+    assert d7.estimated > 0
+    assert d7.extended_evaluations == d7.estimated
+    ix1 = IvfRabitqIndex.train(data, nlist=8, total_bits=1, seed=1, scan_dtype="f32")
+    _, d1 = ix1.search_with_diagnostics(data[0], SearchParams(10, 4))
+    assert d1.extended_evaluations == 0
+
+
+def test_fetch_embedding_matrix_rotator(rng):
+    data = _dataset(rng, 200, 60)  # dim not a multiple of 64
+    index = IvfRabitqIndex.train(
+        data, nlist=4, total_bits=7, seed=13,
+        rotator_type=RotatorType.MatrixRotator, scan_dtype="f32",
+    )
+    rec = index.fetch_embedding(17)
+    rel = np.linalg.norm(rec - data[17]) / np.linalg.norm(data[17])
+    assert rel < 0.5, rel
