@@ -227,6 +227,13 @@ class BruteForceRabitqIndex:
             return [[] for _ in range(b)]
 
         dev = self.device
+        packed = None
+        if self.scan_dtype == "packed":
+            if getattr(self, "_packed", None) is None:
+                from ..ops.pallas_scan import pack_bitplanes
+
+                self._packed = pack_bitplanes(dev["binary"], self.padded_dim)
+            packed = self._packed
         row_allowed = dev["valid"]
         if filter_ids is not None:
             filter_ids = np.asarray(filter_ids)
@@ -259,6 +266,7 @@ class BruteForceRabitqIndex:
             row_allowed,
             dev["ids"],
             nprobe=1,
+            packed=packed,
             top_k=params.top_k,
             rerank=params.resolved_rerank(),
             metric=self.metric,

@@ -262,6 +262,13 @@ class MstgIndex:
             return [[] for _ in range(b)]
 
         dev = self.device
+        packed = None
+        if self.scan_dtype == "packed":
+            if getattr(self, "_packed", None) is None:
+                from ...ops.pallas_scan import pack_bitplanes
+
+                self._packed = pack_bitplanes(dev["binary"], self.dim)
+            packed = self._packed
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
         q[:b] = queries
@@ -284,6 +291,7 @@ class MstgIndex:
             dev["ids"],
             nprobe=jnp.int32(params.ef_search),
             prune_epsilon=jnp.float32(params.pruning_epsilon),
+            packed=packed,
             top_k=fetch_k,
             rerank=params.resolved_rerank(),
             metric=self.config.metric,
