@@ -25,7 +25,7 @@ from ..errors import DimensionMismatch, EmptyIndex, InvalidConfig
 from ..types import Metric, RotatorType, SearchResult
 from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
-from .scan import scan_kernel
+from .scan import make_refine_plane, scan_kernel
 from .ivf import _pad_pow2, _ROW_PAD
 
 
@@ -164,13 +164,8 @@ class BruteForceRabitqIndex:
             valid[:n] = True
             ids = np.full(np_rows, -1, np.int32)
             ids[:n] = np.arange(n, dtype=np.int32)
-            if 1 <= self.ex_bits <= 7:
-                refine_plane = (h.ex_codes.astype(np.uint8)
-                                + (h.binary_bits.astype(np.uint8) << self.ex_bits))
-                ex_dtype = np.int8
-            else:
-                refine_plane = h.ex_codes
-                ex_dtype = np.int8 if self.ex_bits <= 7 else np.int32
+            refine_plane = make_refine_plane(h.binary_bits, h.ex_codes, self.ex_bits)
+            ex_dtype = np.int8 if self.ex_bits <= 7 else np.int32
             from .scan import device_row_permutation
 
             perm = device_row_permutation(n, np_rows)

@@ -36,7 +36,7 @@ from ..ops import packing
 from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from ..utils.logging import get_logger, timed
-from .scan import scan_kernel
+from .scan import ex_plane_is_total, make_refine_plane, scan_kernel
 
 _log = get_logger("ivf")
 
@@ -160,7 +160,7 @@ class IvfRabitqIndex:
         with timed(f"download host codes n={n}", _log):
             binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(np.uint8)
             ex = np.asarray(jnp.take(dev.ex, take, axis=0)).astype(np.uint16)
-            if 1 <= self.ex_bits <= 7:
+            if ex_plane_is_total(self.ex_bits):
                 # the device refine plane stores total codes; recover ex
                 ex = (ex.astype(np.int32) - (binary.astype(np.int32) << self.ex_bits)).astype(np.uint16)
             scalars = {
@@ -357,12 +357,13 @@ class IvfRabitqIndex:
             widths = [(0, np_rows - n)] + [(0, 0)] * (x.ndim - 1)
             return jnp.take(jnp.pad(x, widths), perm_dev, axis=0)
 
-        # refine plane: total codes for 1<=ex_bits<=7 (see scan_kernel)
-        if 1 <= self.ex_bits <= 7:
-            total = codes_dev["ex"][:n].astype(jnp.uint8) + (
-                codes_dev["binary"][:n].astype(jnp.uint8) << self.ex_bits
-            )
-            codes_dev = dict(codes_dev, ex=total)
+        # refine plane: total codes when they fit int8 (see ex_plane_is_total)
+        codes_dev = dict(
+            codes_dev,
+            ex=make_refine_plane(
+                codes_dev["binary"][:n], codes_dev["ex"][:n], self.ex_bits
+            ),
+        )
         ex_dtype = jnp.int8 if self.ex_bits <= 7 else jnp.int32
         return DeviceIndex(
             binary=pp("binary", jnp.int8),
@@ -410,15 +411,11 @@ class IvfRabitqIndex:
         valid[:n] = True
         ids_pad = np.full(np_rows, -1, np.int32)
         ids_pad[:n] = h.ids.astype(np.int32)
-        if 1 <= self.ex_bits <= 7:
-            total = h.ex_codes.astype(np.uint8) + (
-                h.binary_bits.astype(np.uint8) << self.ex_bits
-            )
-            ex_dev = padded(total.astype(np.int8), np.int8)
-        elif self.ex_bits == 0:
-            ex_dev = padded(h.ex_codes.astype(np.int8), np.int8)
+        plane = make_refine_plane(h.binary_bits, h.ex_codes, self.ex_bits)
+        if self.ex_bits <= 7:
+            ex_dev = padded(plane.astype(np.int8), np.int8)
         else:  # >7 magnitude bits do not fit int8; keep exact in f32-capable i32
-            ex_dev = padded(h.ex_codes.astype(np.int32), np.int32)
+            ex_dev = padded(plane.astype(np.int32), np.int32)
         # scatter rows for approx_max_k (see device_row_permutation)
         from .scan import device_row_permutation
 
@@ -592,7 +589,7 @@ class IvfRabitqIndex:
         else:
             max_id = int(ids.max(initial=0))
             allowed_of_id = np.zeros(max_id + 1, bool)
-            in_range = filter_ids[filter_ids <= max_id]
+            in_range = filter_ids[(filter_ids >= 0) & (filter_ids <= max_id)]
             allowed_of_id[in_range.astype(np.int64)] = True
         mask = np.zeros(np_rows, bool)
         idx = ids.astype(np.int64)

@@ -37,7 +37,7 @@ from ...errors import DimensionMismatch, EmptyIndex, InvalidConfig, InvalidPersi
 from ...types import Metric, SearchResult
 from ...ops import packing
 from ...ops.quantize import compute_const_scaling_factor
-from ..scan import scan_kernel
+from ..scan import make_refine_plane, scan_kernel
 from ..ivf import _pad_pow2, _ROW_PAD
 from .config import MstgConfig, MstgSearchParams, ScalarPrecision
 from .clustering import hierarchical_cluster
@@ -220,13 +220,8 @@ class MstgIndex:
             ids = np.full(rp, -1, np.int32)
             ids[:r] = h.ids.astype(np.int32)
             ex_bits = self.config.rabitq_bits - 1
-            if 1 <= ex_bits <= 7:
-                refine_plane = (h.ex_codes.astype(np.uint8)
-                                + (h.binary_bits.astype(np.uint8) << ex_bits))
-                ex_dtype = np.int8
-            else:
-                refine_plane = h.ex_codes
-                ex_dtype = np.int8 if ex_bits <= 7 else np.int32
+            refine_plane = make_refine_plane(h.binary_bits, h.ex_codes, ex_bits)
+            ex_dtype = np.int8 if ex_bits <= 7 else np.int32
             self._device = dict(
                 binary=pad2(h.binary_bits.astype(np.int8), np.int8),
                 ex=pad2(refine_plane.astype(ex_dtype), ex_dtype),
@@ -274,8 +269,10 @@ class MstgIndex:
         q[:b] = queries
 
         ex_bits = self.config.rabitq_bits - 1
-        # over-fetch to absorb cross-list duplicates from closure replication
-        fetch_k = min(params.top_k * 2 + 8, params.resolved_rerank())
+        # fetch the full re-ranked survivor set: closure replication means a
+        # vector can appear once per assigned posting list, and deduping a
+        # short prefix can silently return fewer than top_k results
+        fetch_k = params.resolved_rerank()
         ids, dists = scan_kernel(
             jnp.asarray(q),
             dev["centroids"],

@@ -34,6 +34,32 @@ from ..types import Metric
 from ..ops import estimator as est_ops
 
 
+def ex_plane_is_total(ex_bits: int) -> bool:
+    """Whether the refine plane stores TOTAL codes (single-gather re-rank).
+
+    total = ex + (binary << ex_bits) <= 2^(ex_bits+1) - 1 must fit int8
+    (<= 127), so this holds only for ex_bits <= 6 (total_bits <= 7). For
+    ex_bits == 7 the total reaches 255: raw ex codes are stored instead and
+    the two-gather formula is used.
+    """
+    return 1 <= ex_bits <= 6
+
+
+def make_refine_plane(binary, ex, ex_bits: int):
+    """Build the device refine plane from binary/ex code planes (np or jnp).
+
+    Returns values suitable for an int8 plane when ex_bits <= 7, else the
+    raw (int32) ex codes. Shared by every index builder so the
+    ex_plane_is_total rule lives in exactly one place.
+    """
+    if ex_plane_is_total(ex_bits):
+        return ex.astype(jnp.uint8 if isinstance(ex, jax.Array) else "uint8") + (
+            binary.astype(jnp.uint8 if isinstance(binary, jax.Array) else "uint8")
+            << ex_bits
+        )
+    return ex
+
+
 def device_row_permutation(n: int, n_pad: int, seed: int = 0x5EED) -> "np.ndarray":
     """Fixed pseudorandom permutation for the device row layout.
 
@@ -110,11 +136,11 @@ def scan_kernel(
     q_rot: jax.Array,  # [B, Dpad] f32 rotated queries
     centroids: jax.Array,  # [C, Dpad] f32 rotated centroids
     binary: jax.Array,  # [Np, Dpad] int8 {0,1}
-    # Refine plane. INVARIANT: for 1 <= ex_bits <= 7 this holds the TOTAL
-    # codes (binary << ex_bits | ex, <= 127 so int8 fits) — the extended
-    # estimator only needs <total, q>, so the survivor re-rank does ONE
-    # gather+dot instead of two. For ex_bits > 7 it holds raw ex codes
-    # (int32) and the two-term formula is used.
+    # Refine plane. INVARIANT: when ex_plane_is_total(ex_bits) this holds
+    # the TOTAL codes (binary << ex_bits | ex, <= 127 so int8 fits) — the
+    # extended estimator only needs <total, q>, so the survivor re-rank
+    # does ONE gather+dot instead of two. Otherwise it holds raw ex codes
+    # and the two-term formula is used.
     ex: jax.Array,
     f_add: jax.Array,  # [Np] f32
     f_rescale: jax.Array,
@@ -195,16 +221,14 @@ def scan_kernel(
 
         assert packed is not None, "scan_dtype='packed' requires the packed plane"
         q_perm = permute_query(q_rot, d)
-        g_comb = jnp.where(
-            allowed,
-            g_add_rows - f_error[None, :] * g_err_rows,
-            jnp.inf,
-        ).astype(jnp.bfloat16)
+        g_comb = (g_add_rows - f_error[None, :] * g_err_rows).astype(jnp.bfloat16)
         lb16 = packed_lb_scan(
             packed, q_perm, f_add, f_rescale, qc.k1x_sum_q, g_comb
         )
-        # NaN -> never prune (keep); the +inf drop-mask must survive
-        masked_lb = jnp.where(jnp.isnan(lb16), -jnp.inf, lb16.astype(jnp.float32))
+        lb_f = lb16.astype(jnp.float32)
+        # non-finite -> never prune, exactly like the dense path below
+        lb_f = jnp.where(jnp.isfinite(lb_f), lb_f, -jnp.inf)
+        masked_lb = jnp.where(allowed, lb_f, jnp.inf)
     else:
         bdot = _stage1_dots(q_rot, binary, scan_dtype)  # [B, Np]
         est = est_ops.est_1bit(
@@ -251,7 +275,7 @@ def scan_kernel(
         )
 
     g_add_c = jnp.take_along_axis(g_add, jnp.take(cluster_of, cand_idx), axis=1)
-    ex_is_total = 1 <= ex_bits <= 7
+    ex_is_total = ex_plane_is_total(ex_bits)
     if ex_bits > 0 and refine_ex and ex_is_total:
         # single gather: <total, q> == binary_scale * bdot + edot exactly
         t_cand = jnp.take(ex, cand_idx, axis=0)  # [B, R, D]

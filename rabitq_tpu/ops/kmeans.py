@@ -185,7 +185,9 @@ def run_kmeans(
     rng = np.random.default_rng(seed)
     # --- training subset (kmeans.rs:210-226) ---
     target = max(min(n, k * max_points_per_centroid), k)
-    block = _block_size(k)
+    # don't pad tiny inputs up to the full tile budget (hierarchical MSTG
+    # splits run many small k-means)
+    block = min(_block_size(k), ((target + 255) // 256) * 256)
     if target < n:
         idx = rng.permutation(n)[:target]
         idx.sort()

@@ -184,8 +184,6 @@ class ShardedIvfIndex:
                 return x
             out = np.zeros((pad_to, *x.shape[1:]), x.dtype)
             out[:rows] = x
-            if x.dtype == np.int32 and x.ndim == 1:  # ids padding stays -1
-                pass
             return out
 
         ids_np = np.asarray(dev.ids)
@@ -223,7 +221,8 @@ class ShardedIvfIndex:
             rerank=params.resolved_rerank(),
             metric=self.index.metric,
             ex_bits=self.index.ex_bits,
-            scan_dtype=self.index.scan_dtype,
+            # the packed bitplane is not sharded; fall back to the dense path
+            scan_dtype="bf16" if self.index.scan_dtype == "packed" else self.index.scan_dtype,
         )
         return np.asarray(ids), np.asarray(dists)
 

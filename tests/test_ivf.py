@@ -207,3 +207,36 @@ def test_fetch_embedding_matrix_rotator(rng):
     rec = index.fetch_embedding(17)
     rel = np.linalg.norm(rec - data[17]) / np.linalg.norm(data[17])
     assert rel < 0.5, rel
+
+
+def test_total_bits_8(rng):
+    """Regression: total_bits=8 (ex_bits=7) must not overflow the int8
+    refine plane (total codes reach 255; raw ex codes must be stored)."""
+    data = _dataset(rng, 512, 64)
+    index = IvfRabitqIndex.train(data, nlist=8, total_bits=8, seed=1, scan_dtype="f32")
+    res = index.batch_search(data[:4], SearchParams(top_k=5, nprobe=8))
+    for qi, hits in enumerate(res):
+        assert hits[0].id == qi, (qi, [h.id for h in hits])
+        # self-distance may be a tiny negative quantization estimate, but a
+        # corrupted plane produced O(-100) garbage
+        assert hits[0].score > -1.0
+    # save/load round-trips the raw ex codes
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.rbq")
+        index.save_to_path(p)
+        loaded = IvfRabitqIndex.load_from_path(p, scan_dtype="f32")
+        np.testing.assert_array_equal(loaded.host.ex_codes, index.host.ex_codes)
+
+
+def test_filtered_search_rejects_negative_ids(rng):
+    """Regression: negative filter ids must not wrap around and whitelist
+    the last vectors."""
+    data = _dataset(rng, 256, 32)
+    index = IvfRabitqIndex.train(data, nlist=4, total_bits=5, seed=1, scan_dtype="f32")
+    res = index.search_filtered(
+        data[255], SearchParams(top_k=10, nprobe=4), np.array([-1, 5, 7])
+    )
+    ids = [h.id for h in res]
+    assert 255 not in ids, ids
+    assert set(ids) <= {5, 7}

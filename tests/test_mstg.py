@@ -136,3 +136,27 @@ def test_mstg_memory_usage(rng):
     )
     assert index.memory_usage() > 0
     assert index.posting_list_count() >= 3
+
+
+def test_mstg_returns_full_topk_under_replication(rng):
+    """Regression: cross-list dedup must not shorten results when closure
+    replication is high. Boundary vectors (midpoints between far-apart
+    centers) satisfy the RNG rule and replicate into multiple lists."""
+    dim = 24
+    centers = rng.standard_normal((8, dim)).astype(np.float32) * 10
+    pairs = rng.integers(0, 8, size=(3000, 2))
+    data = (
+        0.5 * (centers[pairs[:, 0]] + centers[pairs[:, 1]])
+        + 0.1 * rng.standard_normal((3000, dim))
+    ).astype(np.float32)
+    cfg = MstgConfig(
+        max_posting_size=600, branching_factor=4, rabitq_bits=7,
+        closure_epsilon=1.0, max_replicas=8,
+    )
+    index = MstgIndex.build(data, cfg, scan_dtype="f32")
+    assert index.replication_factor() > 1.1, index.replication_factor()
+    res = index.batch_search(
+        data[:4], MstgSearchParams(ef_search=300, pruning_epsilon=3.0, top_k=50)
+    )
+    for hits in res:
+        assert len(hits) == 50, len(hits)
