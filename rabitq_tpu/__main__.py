@@ -57,15 +57,31 @@ def cmd_build(args):
     )
     t0 = time.time()
     if args.index_type == "ivf":
-        index = IvfRabitqIndex.train(
-            data,
-            nlist=args.nlist,
-            total_bits=args.total_bits,
-            metric=metric,
-            rotator_type=rotator,
-            seed=args.seed,
-            use_faster_config=args.faster,
-        )
+        if args.centroids and args.assignments:
+            # precomputed clustering (e.g. FAISS), like the reference's
+            # fit_with_clusters binding (python_bindings.rs:443)
+            from .io.vecio import read_fvecs, read_ids
+
+            index = IvfRabitqIndex.train_with_clusters(
+                data,
+                read_fvecs(args.centroids),
+                read_ids(args.assignments),
+                total_bits=args.total_bits,
+                metric=metric,
+                rotator_type=rotator,
+                seed=args.seed,
+                use_faster_config=args.faster,
+            )
+        else:
+            index = IvfRabitqIndex.train(
+                data,
+                nlist=args.nlist,
+                total_bits=args.total_bits,
+                metric=metric,
+                rotator_type=rotator,
+                seed=args.seed,
+                use_faster_config=args.faster,
+            )
     elif args.index_type == "brute_force":
         index = BruteForceRabitqIndex.train(
             data,
@@ -251,6 +267,8 @@ def main(argv=None):
     b.add_argument("--max-posting-size", type=int, default=5000)
     b.add_argument("--branching-factor", type=int, default=10)
     b.add_argument("--limit", type=int, default=None)
+    b.add_argument("--centroids", default=None, help="precomputed centroids fvecs")
+    b.add_argument("--assignments", default=None, help="precomputed cluster-id ivecs")
     b.set_defaults(func=cmd_build)
 
     q = sub.add_parser("query", help="query an index with fvecs queries")

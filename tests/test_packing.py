@@ -128,3 +128,21 @@ def test_pack_codes_matches_scalar_and_roundtrips(rng):
     np.testing.assert_array_equal(vec.reshape(-1), oracle)
     back = packing.unpack_codes(vec, dim_bytes)
     np.testing.assert_array_equal(back, batched)
+
+
+def test_1bit_cpp_equals_generic(rng):
+    """The reference packs ex_bits=1 with its cpp-compat u16-LE layout
+    (simd.rs:2406-2427) but unpacks it with the generic LSB-first stream
+    (simd.rs:101-134); our claim that the two layouts are bit-identical is
+    what makes a single generic codec correct. Verify against a direct
+    u16-LE oracle."""
+    dim = 64
+    ex = rng.integers(0, 2, size=(5, dim)).astype(np.uint16)
+    via_generic = packing.pack_ex_generic(ex, 1)
+    # cpp oracle: groups of 16 codes -> little-endian u16 with bit i = code i
+    words = np.zeros((5, dim // 16), np.uint16)
+    for g in range(dim // 16):
+        for i in range(16):
+            words[:, g] |= (ex[:, g * 16 + i] & 1).astype(np.uint16) << i
+    oracle = words.astype("<u2").view(np.uint8).reshape(5, dim // 16 * 2)
+    np.testing.assert_array_equal(via_generic, oracle)
