@@ -55,6 +55,11 @@ def cmd_build(args):
     rotator = (
         RotatorType.FhtKacRotator if args.rotator in ("fht", "random") else RotatorType.MatrixRotator
     )
+    if bool(args.centroids) != bool(args.assignments):
+        raise SystemExit(
+            "--centroids and --assignments must be given together "
+            "(precomputed clustering needs both)"
+        )
     t0 = time.time()
     if args.index_type == "ivf":
         if args.centroids and args.assignments:

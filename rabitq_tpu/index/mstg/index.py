@@ -271,8 +271,14 @@ class MstgIndex:
         ex_bits = self.config.rabitq_bits - 1
         # fetch the full re-ranked survivor set: closure replication means a
         # vector can appear once per assigned posting list, and deduping a
-        # short prefix can silently return fewer than top_k results
-        fetch_k = params.resolved_rerank()
+        # short prefix can silently return fewer than top_k results. The
+        # budget itself must also cover top_k distinct ids at the observed
+        # replication factor.
+        rerank = max(
+            params.resolved_rerank(),
+            int(np.ceil(params.top_k * self.replication_factor())) + 16,
+        )
+        fetch_k = rerank
         ids, dists = scan_kernel(
             jnp.asarray(q),
             dev["centroids"],
@@ -290,7 +296,7 @@ class MstgIndex:
             prune_epsilon=jnp.float32(params.pruning_epsilon),
             packed=packed,
             top_k=fetch_k,
-            rerank=params.resolved_rerank(),
+            rerank=rerank,
             metric=self.config.metric,
             ex_bits=ex_bits,
             scan_dtype=self.scan_dtype,

@@ -53,10 +53,7 @@ def make_refine_plane(binary, ex, ex_bits: int):
     ex_plane_is_total rule lives in exactly one place.
     """
     if ex_plane_is_total(ex_bits):
-        return ex.astype(jnp.uint8 if isinstance(ex, jax.Array) else "uint8") + (
-            binary.astype(jnp.uint8 if isinstance(binary, jax.Array) else "uint8")
-            << ex_bits
-        )
+        return ex.astype("uint8") + (binary.astype("uint8") << ex_bits)
     return ex
 
 

@@ -212,8 +212,10 @@ def run_kmeans(
         centroids = np.asarray(
             _kmeans_device(train_dev, key, k, niter, block, nt, spherical)
         )
+        # the final full-dataset assignment picks its own tile size: the
+        # training block may be capped by a small sampled subset
         assignments, objective = assign_dataset(
-            data_dev, centroids, block=block, n_valid=n
+            data_dev, centroids, block=None, n_valid=n
         )
         result = KMeansResult(
             centroids=centroids, assignments=assignments, objective=objective
@@ -237,7 +239,7 @@ def assign_dataset(
         n_valid = n
     k = centroids.shape[0]
     if block is None:
-        block = _block_size(k)
+        block = min(_block_size(k), ((n + 255) // 256) * 256)
     n_pad = ((n + block - 1) // block) * block
     if isinstance(data, jax.Array):
         data_dev = (

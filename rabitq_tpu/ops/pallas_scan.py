@@ -100,7 +100,9 @@ def packed_lb_scan(
     f_add: jax.Array,  # [Np] f32
     f_rescale: jax.Array,  # [Np] f32
     k1x: jax.Array,  # [Bp] f32 (c1 * sum(q))
-    g_comb: jax.Array,  # [Bp, Np] bf16: g_add - f_error*g_error, masked
+    g_comb: jax.Array,  # [Bp, Np] bf16: g_add - f_error*g_error, UNMASKED —
+    # callers apply the probe/filter mask to the returned lower bounds
+    # (masking inside via +inf would poison the bf16 epilogue with NaNs)
 ) -> jax.Array:
     """Fused stage-1 lower bounds: returns [Bp, Np] bf16."""
     n, db = packed.shape
