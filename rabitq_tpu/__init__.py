@@ -20,6 +20,7 @@ from .types import Metric, RotatorType, SearchParams, SearchResult
 from .index.ivf import IvfRabitqIndex
 from .index.brute_force import BruteForceRabitqIndex, BruteForceSearchParams
 from .index.loader import RabitqIndex, load_index
+from .index.streaming import StreamedIvfIndex
 from .index.mstg import MstgConfig, MstgIndex, MstgSearchParams, ScalarPrecision
 
 __version__ = "0.1.0"
@@ -34,6 +35,7 @@ __all__ = [
     "BruteForceSearchParams",
     "RabitqIndex",
     "load_index",
+    "StreamedIvfIndex",
     "MstgConfig",
     "MstgIndex",
     "MstgSearchParams",

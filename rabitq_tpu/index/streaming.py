@@ -1,0 +1,152 @@
+"""Streamed serving for indexes larger than device memory.
+
+The reference reserves a billion-scale tier where cold posting lists live
+off-memory and are paged in on demand (``docs/MSTG_SPEC.md:44-75``,
+``mstg/metadata.rs`` — scaffolding only, never implemented). This is the
+TPU-native version of that tier for the IVF index: code planes stay in
+host RAM as chunk slabs and stream through HBM per query batch, so index
+capacity is bounded by host memory, not the ~16 GB of a chip.
+
+Each chunk runs the full fused scan (stage-1 estimate, survivor cut,
+exact re-rank) and contributes its local top-k; chunk results merge on the
+host. Throughput is then bounded by host->device bandwidth per batch —
+this tier is for batch-heavy offline serving or capacity overflow, not
+latency. For indexes that fit in HBM, use ``IvfRabitqIndex`` directly; for
+multi-chip capacity, ``parallel.sharding.ShardedIvfIndex``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..types import Metric, SearchParams, SearchResult
+from .ivf import IvfRabitqIndex, _pad_pow2
+from .scan import device_row_permutation, make_refine_plane, scan_kernel
+
+
+class StreamedIvfIndex:
+    """Chunk-streaming wrapper over a trained ``IvfRabitqIndex``.
+
+    ``chunk_rows`` controls the HBM working set (rows per uploaded slab).
+    """
+
+    def __init__(self, index: IvfRabitqIndex, chunk_rows: int = 1 << 20):
+        self.index = index
+        h = index.host  # materializes host planes if the index was device-built
+        n = len(index)
+        chunk_rows = max(256, (chunk_rows // 128) * 128)
+        self.chunk_rows = chunk_rows
+
+        # one global scatter so approx_max_k bins stay iid within each chunk
+        perm = device_row_permutation(n, n)[:n]
+        sizes = np.diff(h.cluster_offsets)
+        cluster_of = np.repeat(
+            np.arange(len(sizes), dtype=np.int32), sizes.astype(np.int64)
+        )[perm]
+        ids = h.ids.astype(np.int32)[perm]
+        binary = h.binary_bits[perm]
+        refine = np.asarray(
+            make_refine_plane(binary, h.ex_codes[perm], index.ex_bits)
+        )
+        refine_dtype = np.int8 if index.ex_bits <= 7 else np.int32
+        scal = {
+            name: getattr(h, name)[perm].astype(np.float32)
+            for name in ("f_add", "f_rescale", "f_error", "f_add_ex", "f_rescale_ex")
+        }
+
+        self._chunks = []
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            rows = e - s
+            pad = (-rows) % 128
+            m = rows + pad
+
+            def pad2(x, dtype):
+                out = np.zeros((m, x.shape[1]), dtype)
+                out[:rows] = x[s:e]
+                return out
+
+            def pad1(x, fill=0):
+                out = np.full(m, fill, x.dtype)
+                out[:rows] = x[s:e]
+                return out
+
+            valid = np.zeros(m, bool)
+            valid[:rows] = True
+            self._chunks.append(
+                dict(
+                    binary=pad2(binary, np.int8),
+                    ex=pad2(refine, refine_dtype),
+                    cluster_of=pad1(cluster_of),
+                    ids=pad1(ids, fill=-1),
+                    valid=valid,
+                    **{k: pad1(v) for k, v in scal.items()},
+                )
+            )
+        self._centroids = jnp.asarray(h.centroids)
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self._chunks)
+
+    def batch_search_arrays(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = queries.shape[0]
+        b_pad = _pad_pow2(b)
+        q = np.zeros((b_pad, self.index.dim), np.float32)
+        q[:b] = queries
+        q_rot = self.index._rotate_jit(jnp.asarray(q))
+
+        all_ids = []
+        all_dists = []
+        for chunk in self._chunks:
+            ids_c, dist_c = scan_kernel(
+                q_rot,
+                self._centroids,
+                jnp.asarray(chunk["binary"]),
+                jnp.asarray(chunk["ex"]),
+                jnp.asarray(chunk["f_add"]),
+                jnp.asarray(chunk["f_rescale"]),
+                jnp.asarray(chunk["f_error"]),
+                jnp.asarray(chunk["f_add_ex"]),
+                jnp.asarray(chunk["f_rescale_ex"]),
+                jnp.asarray(chunk["cluster_of"]),
+                jnp.asarray(chunk["valid"]),
+                jnp.asarray(chunk["ids"]),
+                nprobe=params.nprobe,
+                top_k=params.top_k,
+                rerank=params.resolved_rerank(),
+                metric=self.index.metric,
+                ex_bits=self.index.ex_bits,
+                scan_dtype=self.index.scan_dtype,
+                approx_topk=self.index.approx_topk,
+            )
+            all_ids.append(np.asarray(ids_c)[:b])
+            all_dists.append(np.asarray(dist_c)[:b])
+
+        merged_ids = np.concatenate(all_ids, axis=1)
+        merged_d = np.concatenate(all_dists, axis=1)
+        order = np.argsort(merged_d, axis=1)[:, : params.top_k]
+        return (
+            np.take_along_axis(merged_ids, order, axis=1),
+            np.take_along_axis(merged_d, order, axis=1),
+        )
+
+    def batch_search(
+        self, queries: np.ndarray, params: SearchParams
+    ) -> list[list[SearchResult]]:
+        ids, dists = self.batch_search_arrays(queries, params)
+        out = []
+        for row_ids, row_d in zip(ids, dists):
+            hits = []
+            for i, dd in zip(row_ids, row_d):
+                if i < 0 or not np.isfinite(dd):
+                    continue
+                score = float(dd) if self.index.metric is Metric.L2 else float(-dd)
+                hits.append(SearchResult(id=int(i), score=score))
+            out.append(hits)
+        return out

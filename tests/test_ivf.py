@@ -240,3 +240,39 @@ def test_filtered_search_rejects_negative_ids(rng):
     ids = [h.id for h in res]
     assert 255 not in ids, ids
     assert set(ids) <= {5, 7}
+
+
+def test_streamed_index_matches_in_memory(rng):
+    """Chunk-streamed serving must return the same neighbors as the
+    in-memory index."""
+    from rabitq_tpu.index.streaming import StreamedIvfIndex
+
+    data = _dataset(rng, 2000, 64)
+    index = IvfRabitqIndex.train(data, nlist=16, total_bits=7, seed=1, scan_dtype="f32")
+    streamed = StreamedIvfIndex(index, chunk_rows=512)
+    assert streamed.n_chunks == 4
+    params = SearchParams(top_k=10, nprobe=16, rerank=512)
+    ids_s, dist_s = streamed.batch_search_arrays(data[:8], params)
+    ids_r, dist_r = index.batch_search_arrays(data[:8], params)
+    for i in range(8):
+        assert set(ids_s[i].tolist()) == set(ids_r[i].tolist()), i
+    np.testing.assert_allclose(np.sort(dist_s, 1), np.sort(dist_r, 1), rtol=1e-5)
+
+
+@pytest.mark.parametrize("total_bits", [12, 16])
+def test_high_bit_widths(total_bits, rng):
+    """Reference supports total_bits up to 16 (ivf.rs:967); the int32 ex
+    plane and generic LSB packing must round-trip and search correctly."""
+    data = _dataset(rng, 300, 48)
+    index = IvfRabitqIndex.train(
+        data, nlist=8, total_bits=total_bits, seed=1, scan_dtype="f32"
+    )
+    res = index.batch_search(data[:4], SearchParams(5, 8))
+    for qi, hits in enumerate(res):
+        assert hits[0].id == qi
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.rbq")
+        index.save_to_path(p)
+        loaded = IvfRabitqIndex.load_from_path(p, scan_dtype="f32")
+        np.testing.assert_array_equal(loaded.host.ex_codes, index.host.ex_codes)
