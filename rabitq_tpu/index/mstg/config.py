@@ -54,6 +54,12 @@ class MstgConfig:
     # MSTG scan is 1-bit-estimate only, mstg/index.rs:216-331; refinement
     # improves recall at equal ef — disable for exact reference parity)
     refine_ex: bool = True
+    # TPU-specific: apply an FhtKac rotation before clustering/quantization.
+    # The reference quantizes MSTG posting lists in the original space
+    # (mstg/index.rs:49-88), which caps recall on coordinate-correlated
+    # data — the rotation is what makes the RaBitQ error bound
+    # dimension-independent. Off by default for reference parity.
+    use_rotator: bool = False
 
 
 @dataclass(frozen=True)

@@ -45,7 +45,7 @@ from .closure import closure_assign
 from .metadata import PostingListDirectory
 
 _MAGIC = b"MSTG"
-_VERSION = 1001  # distinct from the reference's bincode-v1 multi-file format
+_VERSION = 1002  # distinct from the reference's bincode-v1 multi-file format
 
 
 @dataclass
@@ -71,9 +71,13 @@ class MstgIndex:
         host: MstgHost,
         scan_dtype: str = "bf16",
         approx_topk: bool | None = None,
+        rotator=None,
     ):
         self.config = config
-        self.dim = dim
+        self.dim = dim  # original (query) dimension
+        self.rotator = rotator  # optional FhtKac (config.use_rotator)
+        # quantization-space dimension: padded when rotating
+        self.quant_dim = rotator.padded_dim if rotator is not None else dim
         self.host = host
         self.scan_dtype = scan_dtype
         self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
@@ -97,8 +101,19 @@ class MstgIndex:
         data = np.ascontiguousarray(data, np.float32)
         if data.size == 0:
             raise InvalidConfig("cannot build index from empty data")
-        n, dim = data.shape
+        n, orig_dim = data.shape
         data_dev = jnp.asarray(data)  # single upload reused by every stage
+        rotator = None
+        if config.use_rotator:
+            # TPU extension: rotate once up front; clustering is isometric
+            # under the rotation and everything downstream is unchanged
+            from ...ops.rotation import make_rotator
+            from ...types import RotatorType
+
+            rotator = make_rotator(orig_dim, RotatorType.FhtKacRotator, seed)
+            data_dev = jax.jit(rotator.rotate)(data_dev)
+            data = np.asarray(data_dev)
+        dim = data.shape[1]
 
         # Step 1: hierarchical balanced clustering
         clusters = hierarchical_cluster(
@@ -158,7 +173,7 @@ class MstgIndex:
             list_offsets=offsets,
             centroids=centroids,
         )
-        return cls(config, dim, host, scan_dtype)
+        return cls(config, orig_dim, host, scan_dtype, rotator=rotator)
 
     # ------------------------------------------------------------------
 
@@ -262,11 +277,16 @@ class MstgIndex:
             if getattr(self, "_packed", None) is None:
                 from ...ops.pallas_scan import pack_bitplanes
 
-                self._packed = pack_bitplanes(dev["binary"], self.dim)
+                self._packed = pack_bitplanes(dev["binary"], self.quant_dim)
             packed = self._packed
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
         q[:b] = queries
+        q_dev = jnp.asarray(q)
+        if self.rotator is not None:
+            if getattr(self, "_rotate_jit", None) is None:
+                self._rotate_jit = jax.jit(self.rotator.rotate)
+            q_dev = self._rotate_jit(q_dev)
 
         ex_bits = self.config.rabitq_bits - 1
         # fetch the full re-ranked survivor set: closure replication means a
@@ -280,7 +300,7 @@ class MstgIndex:
         )
         fetch_k = rerank
         ids, dists = scan_kernel(
-            jnp.asarray(q),
+            q_dev,
             dev["centroids"],
             dev["binary"],
             dev["ex"],
@@ -335,6 +355,7 @@ class MstgIndex:
         n_lists = self.posting_list_count()
         r = self.total_rows
         dim = self.dim
+        quant_dim = self.quant_dim
         ex_bits = cfg.rabitq_bits - 1
 
         with open(path, "wb") as f:
@@ -366,6 +387,10 @@ class MstgIndex:
                     1 if cfg.faster_config else 0,
                 )
             )
+            w(struct.pack("<I", quant_dim))
+            rot_blob = self.rotator.serialize() if self.rotator is not None else b""
+            w(struct.pack("<Q", len(rot_blob)))
+            w(rot_blob)
             w(struct.pack("<QQ", n_lists, r))
             w(h.centroids.astype("<f4").tobytes())
             w(h.list_offsets.astype("<u8").tobytes())
@@ -410,6 +435,9 @@ class MstgIndex:
             default_ef,
             faster,
         ) = struct.unpack("<IBBBBffIIfIB", cur.take(struct.calcsize("<IBBBBffIIfIB")))
+        quant_dim = cur.u32()
+        rot_len = cur.u64()
+        rot_blob = cur.take(rot_len)
         n_lists = cur.u64()
         r = cur.u64()
         cfg = MstgConfig(
@@ -424,22 +452,28 @@ class MstgIndex:
             default_ef_search=default_ef,
             pruning_epsilon=pruning_eps,
             refine_ex=bool(refine_ex),
+            use_rotator=rot_len > 0,
         )
+        rotator = None
+        if rot_len > 0:
+            from ...ops.rotation import FhtKacRotator
+
+            rotator = FhtKacRotator.deserialize(dim, quant_dim, rot_blob)
         ex_bits = rabitq_bits - 1
-        centroids = cur.f32s(n_lists * dim).reshape(n_lists, dim)
+        centroids = cur.f32s(n_lists * quant_dim).reshape(n_lists, quant_dim)
         offsets = cur.u64s(n_lists + 1).astype(np.int64)
         ids = cur.u64s(r).astype(np.int64)
-        bin_len = (dim + 7) // 8
+        bin_len = (quant_dim + 7) // 8
         binary = packing.unpack_binary(
-            cur.bytes_np(r * bin_len).reshape(r, bin_len), dim
+            cur.bytes_np(r * bin_len).reshape(r, bin_len), quant_dim
         ).astype(np.uint8)
         if ex_bits > 0:
-            ex_len = (dim * ex_bits + 7) // 8
+            ex_len = (quant_dim * ex_bits + 7) // 8
             ex = packing.unpack_ex_generic(
-                cur.bytes_np(r * ex_len).reshape(r, ex_len), dim, ex_bits
+                cur.bytes_np(r * ex_len).reshape(r, ex_len), quant_dim, ex_bits
             ).astype(np.uint16)
         else:
-            ex = np.zeros((r, dim), np.uint16)
+            ex = np.zeros((r, quant_dim), np.uint16)
         fields = {}
         for name in ("f_add", "f_rescale", "f_add_ex", "f_rescale_ex", "delta", "vl"):
             fields[name] = cur.f32s(r)
@@ -451,4 +485,4 @@ class MstgIndex:
             centroids=centroids.astype(np.float32),
             **fields,
         )
-        return cls(cfg, dim, host, scan_dtype)
+        return cls(cfg, dim, host, scan_dtype, rotator=rotator)

@@ -160,3 +160,45 @@ def test_mstg_returns_full_topk_under_replication(rng):
     )
     for hits in res:
         assert len(hits) == 50, len(hits)
+
+
+def test_mstg_with_rotator_improves_recall(rng):
+    """TPU extension: rotated MSTG quantization (use_rotator=True) must beat
+    the reference's original-space quantization on correlated data, and
+    round-trip through persistence."""
+    import tempfile, os
+
+    n, dim = 3000, 48
+    # coordinate-correlated data (a few heavy directions) — the case where
+    # the missing rotation hurts the reference design
+    basis = rng.standard_normal((4, dim)).astype(np.float32)
+    coef = rng.standard_normal((n, 4)).astype(np.float32)
+    data = (coef @ basis * 3 + 0.3 * rng.standard_normal((n, dim))).astype(np.float32)
+    queries = data[:16]
+    d2 = ((data[None, :, :] - queries[:, None, :]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :10]
+
+    def recall(index):
+        res = index.batch_search(
+            queries, MstgSearchParams(ef_search=300, pruning_epsilon=3.0, top_k=10)
+        )
+        return np.mean([len(set(h.id for h in res[i]) & set(gt[i])) / 10 for i in range(16)])
+
+    base_cfg = dict(max_posting_size=400, branching_factor=4, rabitq_bits=5)
+    plain = MstgIndex.build(data, MstgConfig(**base_cfg), scan_dtype="f32")
+    rotated = MstgIndex.build(
+        data, MstgConfig(**base_cfg, use_rotator=True), scan_dtype="f32"
+    )
+    r_plain, r_rot = recall(plain), recall(rotated)
+    assert r_rot >= r_plain - 0.02, (r_plain, r_rot)
+    assert r_rot >= 0.85, (r_plain, r_rot)
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "rot.mstg")
+        rotated.save_to_path(p)
+        loaded = MstgIndex.load_from_path(p, scan_dtype="f32")
+        assert loaded.config.use_rotator and loaded.rotator is not None
+        assert loaded.quant_dim == rotated.quant_dim
+        a = rotated.search(data[3], MstgSearchParams.balanced(5))
+        b = loaded.search(data[3], MstgSearchParams.balanced(5))
+        assert [h.id for h in a] == [h.id for h in b]
