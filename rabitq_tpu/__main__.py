@@ -103,6 +103,7 @@ def cmd_build(args):
             rabitq_bits=args.total_bits,
             faster_config=args.faster,
             metric=metric,
+            use_rotator=args.mstg_rotator,
         )
         index = MstgIndex.build(data, cfg, seed=args.seed)
     log(f"build: {time.time()-t0:.1f}s")
@@ -272,6 +273,8 @@ def main(argv=None):
     b.add_argument("--max-posting-size", type=int, default=5000)
     b.add_argument("--branching-factor", type=int, default=10)
     b.add_argument("--limit", type=int, default=None)
+    b.add_argument("--mstg-rotator", action="store_true",
+                   help="rotate before MSTG quantization (TPU extension)")
     b.add_argument("--centroids", default=None, help="precomputed centroids fvecs")
     b.add_argument("--assignments", default=None, help="precomputed cluster-id ivecs")
     b.set_defaults(func=cmd_build)

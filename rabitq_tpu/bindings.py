@@ -82,6 +82,7 @@ class MstgIndex:
         centroid_precision: str = "bf16",
         default_ef_search: int = 150,
         pruning_epsilon: float = 0.6,
+        use_rotator: bool = False,  # TPU extension (not in the reference)
     ):
         self.dimension = dimension
         self.config = MstgConfig(
@@ -98,6 +99,7 @@ class MstgIndex:
             centroid_precision=_parse_precision(centroid_precision),
             default_ef_search=default_ef_search,
             pruning_epsilon=pruning_epsilon,
+            use_rotator=use_rotator,
         )
         self.index: _NativeMstg | None = None
 
