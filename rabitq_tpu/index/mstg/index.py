@@ -105,15 +105,16 @@ class MstgIndex:
         data_dev = jnp.asarray(data)  # single upload reused by every stage
         rotator = None
         if config.use_rotator:
-            # TPU extension: rotate once up front; clustering is isometric
-            # under the rotation and everything downstream is unchanged
+            # TPU extension. Rotation is an isometry, so clustering and
+            # closure assignment run on the ORIGINAL data (no extra
+            # transfer); only the quantization pipeline rotates rows
+            # (in-device, via build_codes' rotate_fn) and the stored
+            # centroids are the rotated ones.
             from ...ops.rotation import make_rotator
             from ...types import RotatorType
 
             rotator = make_rotator(orig_dim, RotatorType.FhtKacRotator, seed)
-            data_dev = jax.jit(rotator.rotate)(data_dev)
-            data = np.asarray(data_dev)
-        dim = data.shape[1]
+        dim = rotator.padded_dim if rotator is not None else orig_dim
 
         # Step 1: hierarchical balanced clustering
         clusters = hierarchical_cluster(
@@ -132,7 +133,13 @@ class MstgIndex:
             data_dev=data_dev,
         )
 
-        # Step 3: per-posting-list residual quantization (original space)
+        if rotator is not None:
+            centroids = np.asarray(
+                jax.jit(rotator.rotate)(jnp.asarray(centroids))
+            )
+
+        # Step 3: per-posting-list residual quantization (original space,
+        # or rotated space under the use_rotator extension)
         ex_bits = config.rabitq_bits - 1
         t_const = 0.0
         if config.faster_config and ex_bits > 0:
@@ -153,7 +160,7 @@ class MstgIndex:
             data_dev,
             centroids,
             row_list,
-            rotator=None,  # MSTG quantizes in the original space
+            rotator=rotator,  # None: reference parity (original space)
             ex_bits=ex_bits,
             metric=config.metric,
             use_t_const=config.faster_config,
@@ -412,10 +419,11 @@ class MstgIndex:
         if cur.take(4) != _MAGIC:
             raise InvalidPersistence("unrecognized file header")
         version = cur.u32()
-        if version != _VERSION:
+        if version not in (1001, _VERSION):
             raise InvalidPersistence(
-                "unsupported MSTG format version (the reference's bincode "
-                "multi-file format is not readable here)"
+                f"unsupported MSTG format version {version} (this library "
+                "reads its own v1001/v1002 single-file format; the "
+                "reference's bincode multi-file format is separate)"
             )
         stored_crc = struct.unpack("<I", data[-4:])[0]
         if zlib.crc32(data[8:-4]) != stored_crc:
@@ -435,9 +443,12 @@ class MstgIndex:
             default_ef,
             faster,
         ) = struct.unpack("<IBBBBffIIfIB", cur.take(struct.calcsize("<IBBBBffIIfIB")))
-        quant_dim = cur.u32()
-        rot_len = cur.u64()
-        rot_blob = cur.take(rot_len)
+        if version >= 1002:
+            quant_dim = cur.u32()
+            rot_len = cur.u64()
+            rot_blob = cur.take(rot_len)
+        else:  # v1001 predates the rotator extension
+            quant_dim, rot_len, rot_blob = dim, 0, b""
         n_lists = cur.u64()
         r = cur.u64()
         cfg = MstgConfig(

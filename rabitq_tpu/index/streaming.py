@@ -34,6 +34,9 @@ class StreamedIvfIndex:
 
     def __init__(self, index: IvfRabitqIndex, chunk_rows: int = 1 << 20):
         self.index = index
+        # the streamed path scans dense planes; packed bitplanes are not
+        # chunked (fall back like the sharded path does)
+        self._scan_dtype = "bf16" if index.scan_dtype == "packed" else index.scan_dtype
         h = index.host  # materializes host planes if the index was device-built
         n = len(index)
         chunk_rows = max(256, (chunk_rows // 128) * 128)
@@ -86,6 +89,11 @@ class StreamedIvfIndex:
                 )
             )
         self._centroids = jnp.asarray(h.centroids)
+        # free the wrapped index's resident HBM planes — the whole point of
+        # this tier is that the index does NOT fit on the chip. (The host
+        # planes stay: they back save/fetch and re-materialization.)
+        index._device = None
+        index._packed = None
 
     @property
     def n_chunks(self) -> int:
@@ -122,7 +130,7 @@ class StreamedIvfIndex:
                 rerank=params.resolved_rerank(),
                 metric=self.index.metric,
                 ex_bits=self.index.ex_bits,
-                scan_dtype=self.index.scan_dtype,
+                scan_dtype=self._scan_dtype,
                 approx_topk=self.index.approx_topk,
             )
             all_ids.append(np.asarray(ids_c)[:b])
