@@ -25,8 +25,9 @@ from ..errors import DimensionMismatch, EmptyIndex, InvalidConfig
 from ..types import Metric, RotatorType, SearchResult
 from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
-from .scan import make_refine_plane, scan_kernel
-from .ivf import _pad_pow2, _ROW_PAD
+from .layout import assemble_device_layout
+from .scan import scan_kernel
+from .ivf import _pad_pow2
 
 
 @dataclass(frozen=True)
@@ -148,45 +149,22 @@ class BruteForceRabitqIndex:
         if self._device is None:
             h = self.host
             n = len(self)
-            np_rows = max(_ROW_PAD, ((n + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
-
-            def pad2(x, dtype):
-                out = np.zeros((np_rows, x.shape[1]), dtype)
-                out[:n] = x
-                return out
-
-            def pad1(x):
-                out = np.zeros(np_rows, np.float32)
-                out[:n] = x
-                return out
-
-            valid = np.zeros(np_rows, bool)
-            valid[:n] = True
-            ids = np.full(np_rows, -1, np.int32)
-            ids[:n] = np.arange(n, dtype=np.int32)
-            refine_plane = make_refine_plane(h.binary_bits, h.ex_codes, self.ex_bits)
-            ex_dtype = np.int8 if self.ex_bits <= 7 else np.int32
-            from .scan import device_row_permutation
-
-            perm = device_row_permutation(n, np_rows)
-            self._device_perm = perm
-
-            def permuted(x):
-                return jnp.asarray(np.asarray(x)[perm])
-
-            self._device = dict(
-                binary=permuted(pad2(h.binary_bits.astype(np.int8), np.int8)),
-                ex=permuted(pad2(refine_plane.astype(ex_dtype), ex_dtype)),
-                f_add=permuted(pad1(h.f_add)),
-                f_rescale=permuted(pad1(h.f_rescale)),
-                f_error=permuted(pad1(h.f_error)),
-                f_add_ex=permuted(pad1(h.f_add_ex)),
-                f_rescale_ex=permuted(pad1(h.f_rescale_ex)),
-                cluster_of=jnp.zeros(np_rows, jnp.int32),
-                valid=jnp.asarray(valid[perm]),
-                ids=jnp.asarray(ids[perm]),
-                centroids=jnp.zeros((1, self.padded_dim), jnp.float32),
+            # one cluster (the zero centroid), every row in it
+            self._device = assemble_device_layout(
+                n=n,
+                ex_bits=self.ex_bits,
+                binary=h.binary_bits,
+                ex=h.ex_codes,
+                f_add=h.f_add,
+                f_rescale=h.f_rescale,
+                f_error=h.f_error,
+                f_add_ex=h.f_add_ex,
+                f_rescale_ex=h.f_rescale_ex,
+                cluster_sizes=np.array([n], np.int64),
+                ids=np.arange(n, dtype=np.int64),
+                centroids=np.zeros((1, self.padded_dim), np.float32),
             )
+            self._device_perm = self._device.perm
         return self._device
 
     # ------------------------------------------------------------------
@@ -227,13 +205,13 @@ class BruteForceRabitqIndex:
             if getattr(self, "_packed", None) is None:
                 from ..ops.pallas_scan import pack_bitplanes
 
-                self._packed = pack_bitplanes(dev["binary"], self.padded_dim)
+                self._packed = pack_bitplanes(dev.binary, self.padded_dim)
             packed = self._packed
-        row_allowed = dev["valid"]
+        row_allowed = dev.valid
         if filter_ids is not None:
             filter_ids = np.asarray(filter_ids)
             n = len(self)
-            np_rows = dev["binary"].shape[0]
+            np_rows = dev.binary.shape[0]
             mask = np.zeros(np_rows, bool)
             if filter_ids.dtype == bool:
                 mask[: min(n, filter_ids.shape[0])] = filter_ids[:n]
@@ -249,17 +227,17 @@ class BruteForceRabitqIndex:
 
         ids, dists = scan_kernel(
             q_rot,
-            dev["centroids"],
-            dev["binary"],
-            dev["ex"],
-            dev["f_add"],
-            dev["f_rescale"],
-            dev["f_error"],
-            dev["f_add_ex"],
-            dev["f_rescale_ex"],
-            dev["cluster_of"],
+            dev.centroids,
+            dev.binary,
+            dev.ex,
+            dev.f_add,
+            dev.f_rescale,
+            dev.f_error,
+            dev.f_add_ex,
+            dev.f_rescale_ex,
+            dev.cluster_of,
             row_allowed,
-            dev["ids"],
+            dev.ids,
             nprobe=1,
             packed=packed,
             top_k=params.top_k,

@@ -36,11 +36,10 @@ from ..ops import packing
 from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from ..utils.logging import get_logger, timed
-from .scan import ex_plane_is_total, make_refine_plane, scan_kernel
+from .layout import _ROW_PAD, DeviceLayout, assemble_device_layout
+from .scan import ex_plane_is_total, scan_kernel
 
 _log = get_logger("ivf")
-
-_ROW_PAD = 128  # device row padding multiple
 
 
 def _pad_pow2(b: int) -> int:
@@ -69,23 +68,9 @@ class HostCodes:
     centroids: np.ndarray  # [C, Dpad] f32 (rotated space)
 
 
-@dataclass
-class DeviceIndex:
-    """Device-resident arrays used by the scan kernel."""
-
-    binary: jax.Array  # [Np, Dpad] int8
-    ex: jax.Array  # [Np, Dpad] int8
-    f_add: jax.Array
-    f_rescale: jax.Array
-    f_error: jax.Array
-    f_add_ex: jax.Array
-    f_rescale_ex: jax.Array
-    cluster_of: jax.Array  # [Np] int32
-    valid: jax.Array  # [Np] bool
-    ids: jax.Array  # [Np] int32
-    centroids: jax.Array  # [C, Dpad] f32
-    delta: jax.Array  # [Np] f32 (reconstruction, kept for lazy host download)
-    vl: jax.Array  # [Np] f32
+# Device-resident arrays used by the scan kernel: the shared assembler's
+# DeviceLayout (index/layout.py) — one layout builder for every engine.
+DeviceIndex = DeviceLayout
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -333,53 +318,26 @@ class IvfRabitqIndex:
 
     def _device_from_codes(self, codes_dev: dict, n: int) -> DeviceIndex:
         """Assemble the padded+permuted DeviceIndex from device-resident
-        build outputs (no host round trip)."""
-        from .scan import device_row_permutation
-
-        np_rows = max(_ROW_PAD, ((n + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
-        perm = device_row_permutation(n, np_rows)
-        self._device_perm = perm
-        perm_dev = jnp.asarray(perm)
-
-        sizes = np.diff(self._offsets)
-        cluster_of = np.zeros(np_rows, np.int32)
-        cluster_of[:n] = np.repeat(
-            np.arange(len(sizes), dtype=np.int32), sizes.astype(np.int64)
-        )
-        valid = np.zeros(np_rows, bool)
-        valid[:n] = True
-        ids_pad = np.full(np_rows, -1, np.int32)
-        ids_pad[:n] = self._ids.astype(np.int32)
-
-        # trim the chunk padding from build_codes_device, then pad+permute
-        def pp(name, dtype):
-            x = codes_dev[name][:n].astype(dtype)
-            widths = [(0, np_rows - n)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.take(jnp.pad(x, widths), perm_dev, axis=0)
-
-        # refine plane: total codes when they fit int8 (see ex_plane_is_total)
-        codes_dev = dict(
-            codes_dev,
-            ex=make_refine_plane(
-                codes_dev["binary"][:n], codes_dev["ex"][:n], self.ex_bits
-            ),
-        )
-        ex_dtype = jnp.int8 if self.ex_bits <= 7 else jnp.int32
-        return DeviceIndex(
-            binary=pp("binary", jnp.int8),
-            ex=pp("ex", ex_dtype),
-            f_add=pp("f_add", jnp.float32),
-            f_rescale=pp("f_rescale", jnp.float32),
-            f_error=pp("f_error", jnp.float32),
-            f_add_ex=pp("f_add_ex", jnp.float32),
-            f_rescale_ex=pp("f_rescale_ex", jnp.float32),
-            cluster_of=jnp.asarray(cluster_of[perm]),
-            valid=jnp.asarray(valid[perm]),
-            ids=jnp.asarray(ids_pad[perm]),
+        build outputs (no host round trip; layout.py trims the chunk
+        padding from build_codes_device)."""
+        lay = assemble_device_layout(
+            n=n,
+            ex_bits=self.ex_bits,
+            binary=codes_dev["binary"],
+            ex=codes_dev["ex"],
+            f_add=codes_dev["f_add"],
+            f_rescale=codes_dev["f_rescale"],
+            f_error=codes_dev["f_error"],
+            f_add_ex=codes_dev["f_add_ex"],
+            f_rescale_ex=codes_dev["f_rescale_ex"],
+            cluster_sizes=np.diff(self._offsets),
+            ids=self._ids,
             centroids=jnp.asarray(self._centroids_np),
-            delta=pp("delta", jnp.float32),
-            vl=pp("vl", jnp.float32),
+            delta=codes_dev["delta"],
+            vl=codes_dev["vl"],
         )
+        self._device_perm = lay.perm
+        return lay
 
     # ------------------------------------------------------------------
     # device materialization
@@ -394,48 +352,24 @@ class IvfRabitqIndex:
     def _to_device(self) -> DeviceIndex:
         h = self.host
         n = h.binary_bits.shape[0]
-        np_rows = max(_ROW_PAD, ((n + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
-        d = self.padded_dim
-
-        def padded(x: np.ndarray, dtype) -> np.ndarray:
-            out = np.zeros((np_rows, *x.shape[1:]), dtype)
-            out[:n] = x
-            return out
-
-        cluster_of = np.zeros(np_rows, np.int32)
-        sizes = np.diff(h.cluster_offsets)
-        cluster_of[:n] = np.repeat(
-            np.arange(len(sizes), dtype=np.int32), sizes.astype(np.int64)
+        lay = assemble_device_layout(
+            n=n,
+            ex_bits=self.ex_bits,
+            binary=h.binary_bits,
+            ex=h.ex_codes,
+            f_add=h.f_add,
+            f_rescale=h.f_rescale,
+            f_error=h.f_error,
+            f_add_ex=h.f_add_ex,
+            f_rescale_ex=h.f_rescale_ex,
+            cluster_sizes=np.diff(h.cluster_offsets),
+            ids=h.ids,
+            centroids=h.centroids,
+            delta=h.delta,
+            vl=h.vl,
         )
-        valid = np.zeros(np_rows, bool)
-        valid[:n] = True
-        ids_pad = np.full(np_rows, -1, np.int32)
-        ids_pad[:n] = h.ids.astype(np.int32)
-        plane = make_refine_plane(h.binary_bits, h.ex_codes, self.ex_bits)
-        if self.ex_bits <= 7:
-            ex_dev = padded(plane.astype(np.int8), np.int8)
-        else:  # >7 magnitude bits do not fit int8; keep exact in f32-capable i32
-            ex_dev = padded(plane.astype(np.int32), np.int32)
-        # scatter rows for approx_max_k (see device_row_permutation)
-        from .scan import device_row_permutation
-
-        perm = device_row_permutation(n, np_rows)
-        self._device_perm = perm
-        return DeviceIndex(
-            binary=jnp.asarray(padded(h.binary_bits.astype(np.int8), np.int8)[perm]),
-            ex=jnp.asarray(ex_dev[perm]),
-            f_add=jnp.asarray(padded(h.f_add[:, None], np.float32)[:, 0][perm]),
-            f_rescale=jnp.asarray(padded(h.f_rescale[:, None], np.float32)[:, 0][perm]),
-            f_error=jnp.asarray(padded(h.f_error[:, None], np.float32)[:, 0][perm]),
-            f_add_ex=jnp.asarray(padded(h.f_add_ex[:, None], np.float32)[:, 0][perm]),
-            f_rescale_ex=jnp.asarray(padded(h.f_rescale_ex[:, None], np.float32)[:, 0][perm]),
-            cluster_of=jnp.asarray(cluster_of[perm]),
-            valid=jnp.asarray(valid[perm]),
-            ids=jnp.asarray(ids_pad[perm]),
-            centroids=jnp.asarray(h.centroids),
-            delta=jnp.asarray(padded(h.delta[:, None], np.float32)[:, 0][perm]),
-            vl=jnp.asarray(padded(h.vl[:, None], np.float32)[:, 0][perm]),
-        )
+        self._device_perm = lay.perm
+        return lay
 
     # ------------------------------------------------------------------
     # basic accessors (ivf.rs:1217-1230)

@@ -37,8 +37,8 @@ from ...errors import DimensionMismatch, EmptyIndex, InvalidConfig, InvalidPersi
 from ...types import Metric, SearchResult
 from ...ops import packing
 from ...ops.quantize import compute_const_scaling_factor
-from ..scan import make_refine_plane, scan_kernel
-from ..ivf import _pad_pow2, _ROW_PAD
+from ..scan import scan_kernel
+from ..ivf import _pad_pow2
 from .config import MstgConfig, MstgSearchParams, ScalarPrecision
 from .clustering import hierarchical_cluster
 from .closure import closure_assign
@@ -217,46 +217,22 @@ class MstgIndex:
     def device(self):
         if self._device is None:
             h = self.host
-            r = self.total_rows
-            rp = max(_ROW_PAD, ((r + _ROW_PAD - 1) // _ROW_PAD) * _ROW_PAD)
+            from ..layout import assemble_device_layout
 
-            from ..scan import device_row_permutation
-
-            perm = device_row_permutation(r, rp)
-
-            def pad2(x, dtype):
-                out = np.zeros((rp, x.shape[1]), dtype)
-                out[:r] = x
-                return jnp.asarray(out[perm])
-
-            def pad1(x):
-                out = np.zeros(rp, np.float32)
-                out[:r] = x
-                return jnp.asarray(out[perm])
-
-            sizes = np.diff(h.list_offsets)
-            cluster_of = np.zeros(rp, np.int32)
-            cluster_of[:r] = np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
-            valid = np.zeros(rp, bool)
-            valid[:r] = True
-            ids = np.full(rp, -1, np.int32)
-            ids[:r] = h.ids.astype(np.int32)
-            ex_bits = self.config.rabitq_bits - 1
-            refine_plane = make_refine_plane(h.binary_bits, h.ex_codes, ex_bits)
-            ex_dtype = np.int8 if ex_bits <= 7 else np.int32
-            self._device = dict(
-                binary=pad2(h.binary_bits.astype(np.int8), np.int8),
-                ex=pad2(refine_plane.astype(ex_dtype), ex_dtype),
-                f_add=pad1(h.f_add),
-                f_rescale=pad1(h.f_rescale),
+            self._device = assemble_device_layout(
+                n=self.total_rows,
+                ex_bits=self.config.rabitq_bits - 1,
+                binary=h.binary_bits,
+                ex=h.ex_codes,
+                f_add=h.f_add,
+                f_rescale=h.f_rescale,
+                f_add_ex=h.f_add_ex,
+                f_rescale_ex=h.f_rescale_ex,
+                cluster_sizes=np.diff(h.list_offsets),
+                ids=h.ids,
+                centroids=h.centroids,
                 # reference MSTG zeroes f_error in its scan (mstg/index.rs:285)
-                f_error=jnp.zeros(rp, jnp.float32),
-                f_add_ex=pad1(h.f_add_ex),
-                f_rescale_ex=pad1(h.f_rescale_ex),
-                cluster_of=jnp.asarray(cluster_of[perm]),
-                valid=jnp.asarray(valid[perm]),
-                ids=jnp.asarray(ids[perm]),
-                centroids=jnp.asarray(h.centroids),
+                zero_f_error=True,
             )
         return self._device
 
@@ -284,7 +260,7 @@ class MstgIndex:
             if getattr(self, "_packed", None) is None:
                 from ...ops.pallas_scan import pack_bitplanes
 
-                self._packed = pack_bitplanes(dev["binary"], self.quant_dim)
+                self._packed = pack_bitplanes(dev.binary, self.quant_dim)
             packed = self._packed
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
@@ -308,17 +284,8 @@ class MstgIndex:
         fetch_k = rerank
         ids, dists = scan_kernel(
             q_dev,
-            dev["centroids"],
-            dev["binary"],
-            dev["ex"],
-            dev["f_add"],
-            dev["f_rescale"],
-            dev["f_error"],
-            dev["f_add_ex"],
-            dev["f_rescale_ex"],
-            dev["cluster_of"],
-            dev["valid"],
-            dev["ids"],
+            dev.centroids,
+            *dev.scan_args(),
             nprobe=jnp.int32(params.ef_search),
             prune_epsilon=jnp.float32(params.pruning_epsilon),
             packed=packed,

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..types import Metric, SearchParams, SearchResult
 from .ivf import IvfRabitqIndex, _pad_pow2
-from .scan import device_row_permutation, make_refine_plane, scan_kernel
+from .layout import assemble_host_chunks
+from .scan import scan_kernel
 
 
 class StreamedIvfIndex:
@@ -42,52 +43,20 @@ class StreamedIvfIndex:
         chunk_rows = max(256, (chunk_rows // 128) * 128)
         self.chunk_rows = chunk_rows
 
-        # one global scatter so approx_max_k bins stay iid within each chunk
-        perm = device_row_permutation(n, n)[:n]
-        sizes = np.diff(h.cluster_offsets)
-        cluster_of = np.repeat(
-            np.arange(len(sizes), dtype=np.int32), sizes.astype(np.int64)
-        )[perm]
-        ids = h.ids.astype(np.int32)[perm]
-        binary = h.binary_bits[perm]
-        refine = np.asarray(
-            make_refine_plane(binary, h.ex_codes[perm], index.ex_bits)
+        self._chunks = assemble_host_chunks(
+            n=n,
+            ex_bits=index.ex_bits,
+            binary=h.binary_bits,
+            ex=h.ex_codes,
+            f_add=h.f_add,
+            f_rescale=h.f_rescale,
+            f_error=h.f_error,
+            f_add_ex=h.f_add_ex,
+            f_rescale_ex=h.f_rescale_ex,
+            cluster_sizes=np.diff(h.cluster_offsets),
+            ids=h.ids,
+            chunk_rows=chunk_rows,
         )
-        refine_dtype = np.int8 if index.ex_bits <= 7 else np.int32
-        scal = {
-            name: getattr(h, name)[perm].astype(np.float32)
-            for name in ("f_add", "f_rescale", "f_error", "f_add_ex", "f_rescale_ex")
-        }
-
-        self._chunks = []
-        for s in range(0, n, chunk_rows):
-            e = min(s + chunk_rows, n)
-            rows = e - s
-            pad = (-rows) % 128
-            m = rows + pad
-
-            def pad2(x, dtype):
-                out = np.zeros((m, x.shape[1]), dtype)
-                out[:rows] = x[s:e]
-                return out
-
-            def pad1(x, fill=0):
-                out = np.full(m, fill, x.dtype)
-                out[:rows] = x[s:e]
-                return out
-
-            valid = np.zeros(m, bool)
-            valid[:rows] = True
-            self._chunks.append(
-                dict(
-                    binary=pad2(binary, np.int8),
-                    ex=pad2(refine, refine_dtype),
-                    cluster_of=pad1(cluster_of),
-                    ids=pad1(ids, fill=-1),
-                    valid=valid,
-                    **{k: pad1(v) for k, v in scal.items()},
-                )
-            )
         self._centroids = jnp.asarray(h.centroids)
         # free the wrapped index's resident HBM planes — the whole point of
         # this tier is that the index does NOT fit on the chip. (The host
