@@ -26,7 +26,7 @@ from ..types import Metric, RotatorType, SearchResult
 from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from .layout import assemble_device_layout
-from .scan import scan_kernel
+from .scan import make_fused_search
 from .ivf import _pad_pow2
 
 
@@ -80,6 +80,8 @@ class BruteForceRabitqIndex:
         self._device = None
         self._device_perm = None
         self._rotate_jit = jax.jit(self.rotator.rotate)
+        # rotation + scan fused into one device dispatch
+        self._fused_scan = make_fused_search(self.rotator.rotate)
 
     # ------------------------------------------------------------------
 
@@ -223,10 +225,10 @@ class BruteForceRabitqIndex:
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
         q[:b] = queries
-        q_rot = self._rotate_jit(jnp.asarray(q))
 
-        ids, dists = scan_kernel(
-            q_rot,
+        # np query arg: its upload rides the dispatch (one tunnel round trip)
+        ids, dists = self._fused_scan(
+            q,
             dev.centroids,
             dev.binary,
             dev.ex,
@@ -247,12 +249,15 @@ class BruteForceRabitqIndex:
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
         )
-        ids = np.asarray(ids)[:b]
-        dists = np.asarray(dists)[:b]
+        ids, dists = jax.device_get((ids, dists))  # one fetch round trip
+        ids = ids[:b]
+        dists = dists[:b]
         if self.metric is Metric.L2:
             # reference parity: g_add is hardcoded to 0 for the zero
-            # centroid (brute_force.rs:571), while the kernel used ||q||^2
-            q_norm_sq = np.sum(np.asarray(q_rot)[:b] ** 2, axis=-1, keepdims=True)
+            # centroid (brute_force.rs:571), while the kernel used
+            # ||rot(q)||^2 — equal to ||q||^2 (rotation is orthonormal),
+            # so the shift comes off the raw query with no device download
+            q_norm_sq = np.sum(q[:b] ** 2, axis=-1, keepdims=True)
             dists = dists - q_norm_sq
 
         out: list[list[SearchResult]] = []

@@ -22,7 +22,6 @@ Persistence is byte-compatible RBQ1 v3 (``ivf.rs:1310-1702``).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -37,7 +36,7 @@ from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from ..utils.logging import get_logger, timed
 from .layout import _ROW_PAD, DeviceLayout, assemble_device_layout
-from .scan import ex_plane_is_total, scan_kernel
+from .scan import ex_plane_is_total, make_fused_search
 
 _log = get_logger("ivf")
 
@@ -73,25 +72,6 @@ class HostCodes:
 DeviceIndex = DeviceLayout
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def _count_probed(q_rot, centroids, cluster_of, valid, nprobe, *, metric):
-    """Number of valid rows inside the probed clusters, per query."""
-    from ..ops import estimator as est_ops
-
-    g_add, g_error, sq, dot = est_ops.g_terms(q_rot, centroids, metric)
-    sel = -sq if metric is Metric.L2 else dot
-    n_clusters = centroids.shape[0]
-    nprobe = jnp.clip(nprobe, 1, n_clusters)
-    _, ranked = jax.lax.top_k(sel, n_clusters)
-    within = jnp.broadcast_to(
-        jnp.arange(n_clusters)[None, :] < nprobe, ranked.shape
-    )
-    mask = jnp.zeros(ranked.shape, jnp.bool_)
-    mask = mask.at[jnp.arange(ranked.shape[0])[:, None], ranked].max(within)
-    rows = jnp.take(mask, cluster_of, axis=1) & valid[None, :]
-    return jnp.sum(rows, axis=1)
-
-
 class IvfRabitqIndex:
     def __init__(
         self,
@@ -122,9 +102,11 @@ class IvfRabitqIndex:
         self._device: DeviceIndex | None = None
         self._device_perm: np.ndarray | None = None
         self._packed: jax.Array | None = None  # bitplane plane (scan_dtype="packed")
-        # One persistent jit wrapper — constructing jax.jit per call would
-        # retrace and recompile the rotation on every search.
+        # Persistent jit wrappers — constructing jax.jit per call would
+        # retrace and recompile on every search. The fused program runs
+        # rotation + scan in ONE device dispatch (see scan.make_fused_search).
         self._rotate_jit = jax.jit(self.rotator.rotate)
+        self._fused_scan = make_fused_search(self.rotator.rotate)
 
     @property
     def host(self) -> HostCodes:
@@ -457,10 +439,11 @@ class IvfRabitqIndex:
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
         q[:b] = queries
-        q_rot = self._rotate_jit(jnp.asarray(q))
 
-        ids, dists = scan_kernel(
-            q_rot,
+        # rotation + scan in one device program, the query passed as a host
+        # array so its upload rides the same dispatch: ONE tunnel round trip
+        ids, dists = self._fused_scan(
+            q,
             dev.centroids,
             dev.binary,
             dev.ex,
@@ -481,36 +464,56 @@ class IvfRabitqIndex:
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
         )
-        return np.asarray(ids)[:b], np.asarray(dists)[:b]
+        # one fetch for both outputs: a second np.asarray costs another
+        # ~30 ms tunnel round trip
+        ids, dists = jax.device_get((ids, dists))
+        return ids[:b], dists[:b]
 
     def search_with_diagnostics(
         self, query: np.ndarray, params: SearchParams
     ) -> tuple[list[SearchResult], "SearchDiagnostics"]:
-        """Search plus scan counters (reference test accessor
-        ``ivf.rs:2131-2140``)."""
+        """Search plus scan counters MEASURED from the kernel's masks
+        (reference test accessor ``ivf.rs:2131-2140``)."""
         from ..types import SearchDiagnostics
 
-        results = self.search(query, params)
         dev = self.device
-        q = np.asarray(query, np.float32)[None, :]
-        q_rot = self._rotate_jit(jnp.asarray(q))
-        probed = int(
-            _count_probed(
-                q_rot,
-                dev.centroids,
-                dev.cluster_of,
-                dev.valid,
-                jnp.int32(params.nprobe),
-                metric=self.metric,
-            )[0]
+        q = np.zeros((1, self.dim), np.float32)
+        q[0] = np.asarray(query, np.float32)
+        ids, dists, diag = self._fused_scan(
+            q,
+            dev.centroids,
+            dev.binary,
+            dev.ex,
+            dev.f_add,
+            dev.f_rescale,
+            dev.f_error,
+            dev.f_add_ex,
+            dev.f_rescale_ex,
+            dev.cluster_of,
+            dev.valid,
+            dev.ids,
+            top_k=params.top_k,
+            nprobe=params.nprobe,
+            rerank=params.resolved_rerank(),
+            metric=self.metric,
+            ex_bits=self.ex_bits,
+            scan_dtype=self.scan_dtype,
+            approx_topk=self.approx_topk,
+            with_diagnostics=True,
         )
-        survivors = min(params.resolved_rerank(), probed)
-        diag = SearchDiagnostics(
-            estimated=survivors,
-            skipped_by_lower_bound=max(probed - survivors, 0),
-            extended_evaluations=survivors if self.ex_bits > 0 else 0,
+        ids, dists, diag = jax.device_get((ids, dists, diag))
+        results = []
+        for i, dd in zip(ids[0], dists[0]):
+            if i < 0 or not np.isfinite(dd):
+                continue
+            score = float(dd) if self.metric is Metric.L2 else float(-dd)
+            results.append(SearchResult(id=int(i), score=score))
+        d = diag[0]
+        return results, SearchDiagnostics(
+            estimated=int(d[0]),
+            skipped_by_lower_bound=int(d[1]),
+            extended_evaluations=int(d[2]),
         )
-        return results, diag
 
     def _row_filter(self, filter_ids: np.ndarray) -> np.ndarray:
         """Convert an allowed-id set into a per-row bool mask."""

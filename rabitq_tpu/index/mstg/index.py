@@ -37,7 +37,7 @@ from ...errors import DimensionMismatch, EmptyIndex, InvalidConfig, InvalidPersi
 from ...types import Metric, SearchResult
 from ...ops import packing
 from ...ops.quantize import compute_const_scaling_factor
-from ..scan import scan_kernel
+from ..scan import make_fused_search
 from ..ivf import _pad_pow2
 from .config import MstgConfig, MstgSearchParams, ScalarPrecision
 from .clustering import hierarchical_cluster
@@ -82,6 +82,10 @@ class MstgIndex:
         self.scan_dtype = scan_dtype
         self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
         self._device = None
+        # optional rotation fused into the scan program (one dispatch)
+        self._fused_scan = make_fused_search(
+            rotator.rotate if rotator is not None else None
+        )
         # disk-tier scaffolding (mstg/metadata.rs parity); all lists resident
         row_bytes = host.binary_bits.shape[1] * 2 if host.binary_bits.size else 0
         self.directory = PostingListDirectory.from_offsets(host.list_offsets, row_bytes)
@@ -265,11 +269,6 @@ class MstgIndex:
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
         q[:b] = queries
-        q_dev = jnp.asarray(q)
-        if self.rotator is not None:
-            if getattr(self, "_rotate_jit", None) is None:
-                self._rotate_jit = jax.jit(self.rotator.rotate)
-            q_dev = self._rotate_jit(q_dev)
 
         ex_bits = self.config.rabitq_bits - 1
         # fetch the full re-ranked survivor set: closure replication means a
@@ -282,8 +281,9 @@ class MstgIndex:
             int(np.ceil(params.top_k * self.replication_factor())) + 16,
         )
         fetch_k = rerank
-        ids, dists = scan_kernel(
-            q_dev,
+        # np query arg: its upload rides the dispatch (one tunnel round trip)
+        ids, dists = self._fused_scan(
+            q,
             dev.centroids,
             *dev.scan_args(),
             nprobe=jnp.int32(params.ef_search),
@@ -300,8 +300,9 @@ class MstgIndex:
             centroid_select_l2=True,
             approx_topk=self.approx_topk,
         )
-        ids = np.asarray(ids)[:b]
-        dists = np.asarray(dists)[:b]
+        ids, dists = jax.device_get((ids, dists))  # one fetch round trip
+        ids = ids[:b]
+        dists = dists[:b]
 
         out: list[list[SearchResult]] = []
         for row_ids, row_d in zip(ids, dists):

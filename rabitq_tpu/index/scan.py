@@ -113,22 +113,23 @@ def _stage1_dots(q_rot: jax.Array, codes: jax.Array, scan_dtype: str) -> jax.Arr
     raise ValueError(f"unknown scan_dtype: {scan_dtype}")
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "top_k",
-        "rerank",
-        "metric",
-        "ex_bits",
-        "scan_dtype",
-        "use_prune_epsilon",
-        "refine_ex",
-        "clamp_l2",
-        "centroid_select_l2",
-        "approx_topk",
-        "approx_recall_target",
-    ),
+_SCAN_STATIC = (
+    "top_k",
+    "rerank",
+    "metric",
+    "ex_bits",
+    "scan_dtype",
+    "use_prune_epsilon",
+    "refine_ex",
+    "clamp_l2",
+    "centroid_select_l2",
+    "approx_topk",
+    "approx_recall_target",
+    "with_diagnostics",
 )
+
+
+@functools.partial(jax.jit, static_argnames=_SCAN_STATIC)
 def scan_kernel(
     q_rot: jax.Array,  # [B, Dpad] f32 rotated queries
     centroids: jax.Array,  # [C, Dpad] f32 rotated centroids
@@ -162,12 +163,22 @@ def scan_kernel(
     centroid_select_l2: bool = False,
     approx_topk: bool = True,
     approx_recall_target: float = 0.99,
+    with_diagnostics: bool = False,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
     Entries past the number of available candidates have id -1 and dist
     +inf (host wrappers trim them). For InnerProduct, ``result_dist`` is
     the internal distance; score = -dist (``ivf.rs:2106-2109``).
+
+    With ``with_diagnostics`` a third output ``diag [B, 3] int32`` is
+    returned, MEASURED from the scan's own masks (not synthesized):
+    ``[:, 0]`` candidates fully scored and offered to the final top-k
+    (``estimated``, ``ivf.rs:2112``), ``[:, 1]`` probed rows pruned by
+    the lower-bound survivor cut (``skipped_by_lower_bound``,
+    ``ivf.rs:2055``), ``[:, 2]`` extended-code evaluations
+    (``ivf.rs:2064``) — survivors re-ranked, 0 when ex_bits == 0 or
+    refinement is off.
     """
     b, d = q_rot.shape
     n_rows = binary.shape[0]
@@ -326,4 +337,31 @@ def scan_kernel(
         pad = top_k - k
         result_ids = jnp.pad(result_ids, ((0, 0), (0, pad)), constant_values=-1)
         result_dist = jnp.pad(result_dist, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    return result_ids, result_dist
+    if not with_diagnostics:
+        return result_ids, result_dist
+    probed = jnp.sum(allowed, axis=1, dtype=jnp.int32)  # 1-bit estimates computed
+    survivors = jnp.sum(cand_ok, axis=1, dtype=jnp.int32)  # passed the cut
+    extended = survivors if (ex_bits > 0 and refine_ex) else jnp.zeros_like(survivors)
+    diag = jnp.stack([survivors, probed - survivors, extended], axis=1)
+    return result_ids, result_dist, diag
+
+
+def make_fused_search(rotate_fn):
+    """One jitted program per index: rotation fused into the scan.
+
+    The reference rotates inside search (``ivf.rs:1776``); round 1 ran
+    rotation and scan as two separate device programs, which behind this
+    environment's ~35-40 ms-per-dispatch TPU tunnel set a two-round-trip
+    single-query latency floor. Fusing them (the rotator's sign vectors /
+    matrix are closed-over constants) serves a search in ONE dispatch.
+
+    ``rotate_fn`` maps raw queries ``[B, dim] -> [B, Dpad]``; pass None
+    for indexes that quantize in the original space (MSTG default).
+    """
+
+    @functools.partial(jax.jit, static_argnames=_SCAN_STATIC)
+    def fused(q, *args, **kwargs):
+        q_rot = rotate_fn(q) if rotate_fn is not None else q
+        return scan_kernel(q_rot, *args, **kwargs)
+
+    return fused

@@ -102,8 +102,9 @@ class StreamedIvfIndex:
                 scan_dtype=self._scan_dtype,
                 approx_topk=self.index.approx_topk,
             )
-            all_ids.append(np.asarray(ids_c)[:b])
-            all_dists.append(np.asarray(dist_c)[:b])
+            ids_c, dist_c = jax.device_get((ids_c, dist_c))  # one fetch
+            all_ids.append(ids_c[:b])
+            all_dists.append(dist_c[:b])
 
         merged_ids = np.concatenate(all_ids, axis=1)
         merged_d = np.concatenate(all_dists, axis=1)

@@ -224,7 +224,7 @@ class ShardedIvfIndex:
             # the packed bitplane is not sharded; fall back to the dense path
             scan_dtype="bf16" if self.index.scan_dtype == "packed" else self.index.scan_dtype,
         )
-        return np.asarray(ids), np.asarray(dists)
+        return jax.device_get((ids, dists))
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "block"))

@@ -187,15 +187,28 @@ def test_empty_and_validation(rng):
 
 def test_search_diagnostics(rng):
     """Diagnostics counters (ivf.rs:150-155); 1-bit search must report zero
-    extended evaluations (tests.rs:344)."""
+    extended evaluations (tests.rs:344). Counters are MEASURED from the
+    scan masks: estimated + skipped must equal the row count of the probed
+    clusters, computed here independently from host metadata."""
     data = _dataset(rng, 500, 32)
     ix7 = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=1, scan_dtype="f32")
-    _, d7 = ix7.search_with_diagnostics(data[0], SearchParams(10, 4))
+    params = SearchParams(10, 4)
+    _, d7 = ix7.search_with_diagnostics(data[0], params)
     assert d7.estimated > 0
     assert d7.extended_evaluations == d7.estimated
+    assert d7.estimated <= params.resolved_rerank()
+    # independent probe-row count: 4 closest rotated centroids' sizes
+    q_rot = np.asarray(ix7._rotate_jit(data[0][None, :]))[0]
+    cents = ix7.host.centroids
+    dists = np.sum((cents - q_rot) ** 2, axis=-1)
+    probed_clusters = np.argsort(dists)[: params.nprobe]
+    sizes = np.diff(ix7.host.cluster_offsets)
+    expected_rows = int(sizes[probed_clusters].sum())
+    assert d7.estimated + d7.skipped_by_lower_bound == expected_rows
     ix1 = IvfRabitqIndex.train(data, nlist=8, total_bits=1, seed=1, scan_dtype="f32")
-    _, d1 = ix1.search_with_diagnostics(data[0], SearchParams(10, 4))
+    _, d1 = ix1.search_with_diagnostics(data[0], params)
     assert d1.extended_evaluations == 0
+    assert d1.estimated > 0
 
 
 def test_fetch_embedding_matrix_rotator(rng):
