@@ -75,7 +75,6 @@ def closure_assign(
     centroids = np.ascontiguousarray(centroids, np.float32)
     n, dim = data.shape
     n_clusters = centroids.shape[0]
-    members: list[list[int]] = [[] for _ in range(n_clusters)]
     cent_dev = jnp.asarray(centroids)
     if data_dev is None:
         data_dev = jnp.asarray(np.ascontiguousarray(data, np.float32))
@@ -84,15 +83,27 @@ def closure_assign(
         data_dev = jnp.concatenate(
             [data_dev, jnp.zeros((n_pad - n, dim), jnp.float32)]
         )
+    # collect flat (cluster, row) assignment pairs per chunk, then one
+    # vectorized argsort/split groups them — no per-assignment Python loop
+    # (at 1M rows x 3 replicas that loop was ~3M interpreter iterations)
+    pair_clusters: list[np.ndarray] = []
+    pair_rows: list[np.ndarray] = []
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         blk = jax.lax.dynamic_slice_in_dim(data_dev, s, chunk, axis=0)
         cand, selected = _closure_chunk(
             blk, cent_dev, float(epsilon), int(max_replicas)
         )
-        cand = np.asarray(cand)[: e - s]
-        selected = np.asarray(selected)[: e - s]
-        rows, cols = np.nonzero(selected)
-        for row, col in zip(rows, cols):
-            members[int(cand[row, col])].append(s + int(row))
-    return [np.array(m, dtype=np.int64) for m in members]
+        cand, selected = jax.device_get((cand, selected))
+        cand = cand[: e - s]
+        selected = selected[: e - s]
+        rows, cols = np.nonzero(selected)  # row-major: rows ascending
+        pair_clusters.append(cand[rows, cols].astype(np.int64))
+        pair_rows.append(rows.astype(np.int64) + s)
+    clusters_flat = np.concatenate(pair_clusters) if pair_clusters else np.zeros(0, np.int64)
+    rows_flat = np.concatenate(pair_rows) if pair_rows else np.zeros(0, np.int64)
+    # stable sort keeps each cluster's member rows in ascending order
+    # (chunks were visited in order), matching the reference's build order
+    order = np.argsort(clusters_flat, kind="stable")
+    counts = np.bincount(clusters_flat, minlength=n_clusters)
+    return np.split(rows_flat[order], np.cumsum(counts)[:-1])
