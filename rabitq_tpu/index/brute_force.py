@@ -108,8 +108,18 @@ class BruteForceRabitqIndex:
         padded_dim = rotator.padded_dim
 
         t_const = 0.0
-        if use_faster_config and ex_bits > 0:
-            t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
+        t_rows = None
+        if ex_bits > 0:
+            if use_faster_config:
+                t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
+            else:
+                # reference default: exact per-vector t sweep; the residual
+                # against the zero centroid is the rotated row itself
+                from .build import exact_t_rows
+
+                t_rows = exact_t_rows(
+                    data, None, np.zeros(n, np.int32), None, rotator, ex_bits
+                )
 
         from .build import build_codes
 
@@ -122,6 +132,7 @@ class BruteForceRabitqIndex:
             metric=metric,
             use_t_const=use_faster_config,
             t_const=t_const,
+            t_rows=t_rows,
         )
         host = BruteForceHost(
             binary_bits=codes["binary"],

@@ -37,7 +37,7 @@ def _build_codes_jit(
     centroids: jax.Array,  # [C, Dq] in quantization space
     assign: jax.Array,  # [N_pad] int32, cluster of each OUTPUT row
     order: jax.Array,  # [N_pad] int32, source row of each OUTPUT row
-    t_const: jax.Array,
+    t_rows: jax.Array,  # [N_pad] f32 per-row t (const-filled in faster mode)
     *,
     rotate_fn,  # None or a pure fn [m, dim] -> [m, Dq]
     chunk: int,
@@ -50,7 +50,7 @@ def _build_codes_jit(
     n_chunks = n_pad // chunk
 
     def one(args):
-        ord_c, a = args
+        ord_c, a, t_c = args
         if use_order:
             blk = jnp.take(data, ord_c, axis=0)
         else:
@@ -63,7 +63,7 @@ def _build_codes_jit(
             cents,
             ex_bits=ex_bits,
             metric=metric,
-            t_const=t_const,
+            t_const=t_c,
             use_t_const=use_t_const,
         )
         ex = qb.ex.astype(jnp.uint8) if ex_bits <= 8 else qb.ex
@@ -85,6 +85,7 @@ def _build_codes_jit(
         (
             order.reshape(n_chunks, chunk),
             assign.reshape(n_chunks, chunk),
+            t_rows.reshape(n_chunks, chunk),
         ),
     )
     return tuple(o.reshape(n_pad, *o.shape[2:]) for o in outs)
@@ -104,6 +105,43 @@ _FIELDS = (
 )
 
 
+def exact_t_rows(
+    data: np.ndarray,  # [N, dim] raw host rows
+    centroids: np.ndarray | None,  # [C, dim] RAW (unrotated) centroids; None = zero
+    assign: np.ndarray,  # [M] cluster of each output row
+    order: np.ndarray | None,  # [M] source row per output row (None = identity)
+    rotator: Rotator | None,
+    ex_bits: int,
+    chunk: int = 32768,
+) -> np.ndarray:
+    """Per-output-row exact rescale t, computed host-side.
+
+    The reference's default (non-faster) builds use the exact event sweep
+    per vector (``quantizer.rs:332``); this reproduces it without device
+    round trips: rotation is linear, so the rotated residual is
+    ``rotate(data_row - raw_centroid)`` computed with the host numpy FHT
+    (``rotate_np``), then swept by :func:`best_rescale_factor_exact`.
+    """
+    from ..ops.quantize import best_rescale_factor_exact
+
+    m = assign.shape[0]
+    out = np.empty(m, np.float32)
+    for s in range(0, m, chunk):
+        e = min(s + chunk, m)
+        rows = order[s:e] if order is not None else np.arange(s, e)
+        resid = np.ascontiguousarray(data[rows], np.float32)
+        if centroids is not None:
+            resid = resid - centroids[assign[s:e]]
+        if rotator is not None:
+            resid = rotator.rotate_np(resid)
+        o = np.abs(resid)
+        norm = np.linalg.norm(o, axis=-1, keepdims=True)
+        o = o / np.maximum(norm, np.finfo(np.float32).eps)
+        # rows with ~zero residual get t=1.0 inside the sweep (max_o ~ 0)
+        out[s:e] = best_rescale_factor_exact(o, ex_bits)
+    return out
+
+
 def build_codes_device(
     data,  # np.ndarray or jax.Array [N, dim]
     centroids,  # np.ndarray or jax.Array [C, Dq]
@@ -114,6 +152,7 @@ def build_codes_device(
     metric: Metric,
     use_t_const: bool,
     t_const: float = 0.0,
+    t_rows: np.ndarray | None = None,  # [M] per-row exact t (overrides t_const)
     order: np.ndarray | None = None,  # [M] source row per output row
     chunk: int | None = None,
 ) -> tuple[dict[str, jax.Array], int]:
@@ -121,12 +160,16 @@ def build_codes_device(
 
     ``order`` selects and re-orders source rows (e.g. cluster-sorted
     storage order, or closure-replicated rows); rows are gathered on device
-    so the dataset is uploaded exactly once.
+    so the dataset is uploaded exactly once. ``t_rows`` supplies the exact
+    per-row rescale factors from :func:`exact_t_rows`; without it,
+    ``use_t_const`` picks the faster constant-t mode and otherwise the
+    device-side grid search runs.
     """
     m = assign.shape[0]
     n, dim = data.shape
+    use_t = bool((use_t_const or t_rows is not None) and ex_bits > 0)
     if chunk is None:
-        chunk = 8192 if (use_t_const or ex_bits == 0) else 256
+        chunk = 8192 if (use_t or ex_bits == 0) else 256
     chunk = min(chunk, max(128, m))
     m_pad = ((m + chunk - 1) // chunk) * chunk
 
@@ -139,6 +182,9 @@ def build_codes_device(
         order_arr = np.zeros(m_pad, np.int32)
         order_arr[:m] = order
         use_order = True
+    t_pad = np.full(m_pad, t_const, np.float32)
+    if t_rows is not None:
+        t_pad[:m] = t_rows
 
     rotate_fn = rotator.rotate if rotator is not None else None
     outs = _build_codes_jit(
@@ -146,12 +192,12 @@ def build_codes_device(
         centroids if isinstance(centroids, jax.Array) else jnp.asarray(np.ascontiguousarray(centroids, np.float32)),
         jnp.asarray(assign_pad),
         jnp.asarray(order_arr),
-        jnp.float32(t_const),
+        jnp.asarray(t_pad),
         rotate_fn=rotate_fn,
         chunk=chunk,
         ex_bits=ex_bits,
         metric=metric,
-        use_t_const=bool(use_t_const and ex_bits > 0),
+        use_t_const=use_t,
         use_order=bool(use_order),
     )
     return dict(zip(_FIELDS, outs)), m
@@ -167,6 +213,7 @@ def build_codes(
     metric: Metric,
     use_t_const: bool,
     t_const: float = 0.0,
+    t_rows: np.ndarray | None = None,
     order: np.ndarray | None = None,
     chunk: int | None = None,
 ) -> dict[str, np.ndarray]:
@@ -180,6 +227,7 @@ def build_codes(
         metric=metric,
         use_t_const=use_t_const,
         t_const=t_const,
+        t_rows=t_rows,
         order=order,
         chunk=chunk,
     )

@@ -273,8 +273,18 @@ class IvfRabitqIndex:
         np.cumsum(sizes, out=offsets[1:])
 
         t_const = 0.0
-        if use_faster_config and ex_bits > 0:
-            t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
+        t_rows = None
+        if ex_bits > 0:
+            if use_faster_config:
+                t_const = compute_const_scaling_factor(padded_dim, ex_bits, seed)
+            else:
+                # reference default: exact per-vector t sweep (quantizer.rs:332)
+                from .build import exact_t_rows
+
+                with timed("exact t sweep", _log):
+                    t_rows = exact_t_rows(
+                        data, centroids, assignments[order], order, rotator, ex_bits
+                    )
 
         from .build import build_codes_device
 
@@ -288,6 +298,7 @@ class IvfRabitqIndex:
                 metric=metric,
                 use_t_const=use_faster_config,
                 t_const=t_const,
+                t_rows=t_rows,
                 order=order,
             )
         index = cls(dim, padded_dim, metric, rotator, ex_bits, host=None,

@@ -137,6 +137,7 @@ class MstgIndex:
             data_dev=data_dev,
         )
 
+        raw_centroids = centroids  # unrotated copy for the exact t sweep
         if rotator is not None:
             centroids = np.asarray(
                 jax.jit(rotator.rotate)(jnp.asarray(centroids))
@@ -146,7 +147,8 @@ class MstgIndex:
         # or rotated space under the use_rotator extension)
         ex_bits = config.rabitq_bits - 1
         t_const = 0.0
-        if config.faster_config and ex_bits > 0:
+        t_rows = None
+        if ex_bits > 0 and config.faster_config:
             t_const = compute_const_scaling_factor(dim, ex_bits, seed)
 
         total_rows = sum(m.size for m in members)
@@ -158,8 +160,13 @@ class MstgIndex:
             [m.size for m in members],
         )
 
-        from ..build import build_codes
+        from ..build import build_codes, exact_t_rows
 
+        if ex_bits > 0 and not config.faster_config:
+            # reference default: exact per-vector t sweep (quantizer.rs:332)
+            t_rows = exact_t_rows(
+                data, raw_centroids, row_list, ids, rotator, ex_bits
+            )
         codes = build_codes(
             data_dev,
             centroids,
@@ -169,6 +176,7 @@ class MstgIndex:
             metric=config.metric,
             use_t_const=config.faster_config,
             t_const=t_const,
+            t_rows=t_rows,
             order=ids,  # closure-replicated rows gathered on device
         )
         host = MstgHost(

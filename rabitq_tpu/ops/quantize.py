@@ -90,6 +90,98 @@ def grid_best_t(o_abs: jax.Array, ex_bits: int, grid: int = 128) -> jax.Array:
     return jnp.where(max_o <= F32_EPS, 1.0, best)
 
 
+def best_rescale_factor_exact(
+    o_abs: np.ndarray, ex_bits: int, row_chunk: int = 2048
+) -> np.ndarray:
+    """Exact per-row rescale factor by the reference's event sweep,
+    vectorized across rows (``best_rescale_factor``, ``quantizer.rs:337-427``).
+
+    The objective ``J(t) = sum((c+.5)o) / sqrt(d/4 + sum(c^2+c))`` with
+    ``c_i = floor(t*o_i + 1e-5)`` is piecewise constant in ``t``; it only
+    changes at event points ``t = c / o_i``. The reference walks those
+    events one at a time with a binary heap. Here all events of a row
+    chunk are materialized flat, sorted by ``(row, t, coord)`` (the heap's
+    pop order), and the incremental numerator/denominator updates become
+    segmented cumulative sums — the identical sequential recurrence,
+    evaluated without a per-event interpreter loop.
+
+    ``o_abs``: [N, D] rows of normalized |residual| (unit L2 norm).
+    Returns [N] float32 t values. Host-side (build-time only; the
+    device-side 128-point grid remains available as the fast approximate
+    mode, and ``t_const`` as the faster mode).
+    """
+    o_all = np.ascontiguousarray(o_abs, np.float64)
+    nrows, dim = o_all.shape
+    max_val = (1 << ex_bits) - 1
+    tight = K_TIGHT_START[min(ex_bits, len(K_TIGHT_START) - 1)]
+    out = np.ones(nrows, np.float64)
+    f64_eps = np.finfo(np.float64).eps
+
+    for s in range(0, nrows, row_chunk):
+        o = o_all[s : s + row_chunk]
+        m = o.shape[0]
+        max_o = o.max(axis=1)
+        ok = max_o > f64_eps  # degenerate rows keep t = 1.0 (quantizer.rs:341-343)
+        t_end = np.where(ok, (max_val + K_NENUM) / np.maximum(max_o, f64_eps), 0.0)
+        t_start = t_end * tight
+
+        # initial codes at t_start and the J(t_start-)-state they induce
+        c0 = np.floor(t_start[:, None] * o + K_EPS).astype(np.int64)
+        den0 = dim * 0.25 + np.sum(c0 * (c0 + 1), axis=1).astype(np.float64)
+        num0 = np.sum((c0 + 0.5) * o, axis=1)
+
+        # event codes per coordinate: c0+1 ... hi. The first event is pushed
+        # unconditionally; later ones only while the previous code < max_val
+        # (quantizer.rs:389-414). The t < t_end filter is applied exactly on
+        # the computed t values below.
+        lo = c0 + 1
+        cap = np.maximum(max_val, lo)  # first event may exceed max_val
+        lim = np.floor(t_end[:, None] * np.maximum(o, 0.0)).astype(np.int64) + 1
+        lens = np.where(
+            (o > 0.0) & ok[:, None], np.maximum(np.minimum(cap, lim) - lo + 1, 0), 0
+        ).ravel()
+        total = int(lens.sum())
+        best = t_start.copy()
+        if total:
+            run_start = np.cumsum(lens) - lens
+            flat_pos = np.arange(total, dtype=np.int64)
+            coord = np.repeat(np.arange(m * dim, dtype=np.int64), lens)
+            row = coord // dim
+            idx = coord % dim
+            c = np.repeat(lo.ravel(), lens) + (flat_pos - np.repeat(run_start, lens))
+            o_ev = o[row, idx]
+            t = c / o_ev
+            keep = t < t_end[row]
+            row, idx, c, o_ev, t = row[keep], idx[keep], c[keep], o_ev[keep], t[keep]
+            # heap pop order: ascending t, ties by coordinate index
+            order = np.lexsort((idx, t, row))
+            row, t, c, o_ev = row[order], t[order], c[order], o_ev[order]
+            # segmented incremental state: den += 2c, num += o per event
+            num_c = np.cumsum(o_ev)
+            den_c = np.cumsum(2.0 * c)
+            counts = np.bincount(row, minlength=m)
+            seg_start = np.cumsum(counts) - counts
+            prev_num = np.concatenate(([0.0], num_c))[seg_start]
+            prev_den = np.concatenate(([0.0], den_c))[seg_start]
+            num = num0[row] + num_c - np.repeat(prev_num, counts)
+            den = den0[row] + den_c - np.repeat(prev_den, counts)
+            ip = num / np.sqrt(den)
+            # first strict maximum per row, only if it beats the 0.0 init
+            # (quantizer.rs:404-409)
+            seg_max = np.full(m, -np.inf)
+            has = counts > 0
+            if has.any():
+                seg_max[has] = np.maximum.reduceat(ip, seg_start[has])
+            first = np.full(m, -1, np.int64)
+            at_max = np.flatnonzero(ip == seg_max[row])
+            first[row[at_max][::-1]] = at_max[::-1]  # reversed: first wins
+            hit = (seg_max > 0.0) & (first >= 0)
+            best = np.where(hit, t[np.maximum(first, 0)], t_start)
+        best = np.where(best <= 0.0, np.maximum(t_start, f64_eps), best)
+        out[s : s + row_chunk] = np.where(ok, best, 1.0)
+    return out.astype(np.float32)
+
+
 def compute_const_scaling_factor(dim: int, ex_bits: int, seed: int, grid: int = 1024) -> float:
     """Average optimal t over 100 random Gaussian directions
     (``compute_const_scaling_factor``, ``quantizer.rs:563-592``)."""
@@ -152,7 +244,8 @@ def quantize_block(
 
     if ex_bits > 0:
         if use_t_const:
-            t = jnp.full((n,), t_const, jnp.float32)
+            # scalar (faster_config) or per-row (exact host sweep) t
+            t = jnp.broadcast_to(jnp.asarray(t_const, jnp.float32), (n,))
         else:
             o_abs = jnp.abs(residual)
             rnorm = jnp.sqrt(jnp.sum(o_abs * o_abs, axis=-1, keepdims=True))

@@ -67,6 +67,21 @@ def _fht_dispatch(x: jax.Array) -> jax.Array:
     return fht(x)
 
 
+def fht_np(x: np.ndarray) -> np.ndarray:
+    """Host numpy FHT mirroring :func:`fht` (build-time flows that must not
+    round-trip the device — e.g. the exact t-sweep — and CPU-only loads)."""
+    n = x.shape[-1]
+    assert n & (n - 1) == 0, f"FHT requires power-of-2 length, got {n}"
+    batch_shape = x.shape[:-1]
+    for step in range(_floor_log2(n)):
+        h = 1 << step
+        y = x.reshape(*batch_shape, n // (2 * h), 2, h)
+        a = y[..., 0, :]
+        b = y[..., 1, :]
+        x = np.stack([a + b, a - b], axis=-2).reshape(*batch_shape, n)
+    return x
+
+
 def kacs_walk(x: jax.Array) -> jax.Array:
     """Kac's walk mixing step (``rotation.rs:315-324``): split the vector in
     halves and replace them with (a+b, a-b). Self-inverse up to a factor 2."""
@@ -150,6 +165,38 @@ class FhtKacRotator:
             out = out * 0.25
         return out
 
+    def rotate_np(self, x: np.ndarray) -> np.ndarray:
+        """Host numpy forward rotation, numerically mirroring :meth:`rotate`
+        (same f32 butterflies / walk / scaling order)."""
+        x = np.ascontiguousarray(x, np.float32)
+        assert x.shape[-1] == self.dim
+        pad = self.padded_dim - x.shape[-1]
+        if pad:
+            widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+            x = np.pad(x, widths)
+        out = x
+        signs = np.asarray(self._signs)
+        trunc, padded, fac = self.trunc_dim, self.padded_dim, self.fac
+        if trunc == padded:
+            for r in range(4):
+                out = (out * signs[r]).astype(np.float32)
+                out = (fht_np(out) * np.float32(fac)).astype(np.float32)
+        else:
+            start = padded - trunc
+            for r in range(4):
+                out = (out * signs[r]).astype(np.float32)
+                if r % 2 == 0:
+                    head = (fht_np(out[..., :trunc]) * np.float32(fac)).astype(np.float32)
+                    out = np.concatenate([head, out[..., trunc:]], axis=-1)
+                else:
+                    tail = (fht_np(out[..., start:]) * np.float32(fac)).astype(np.float32)
+                    out = np.concatenate([out[..., :start], tail], axis=-1)
+                a = out[..., : padded // 2]
+                b = out[..., padded // 2 :]
+                out = np.concatenate([a + b, a - b], axis=-1).astype(np.float32)
+            out = (out * np.float32(0.25)).astype(np.float32)
+        return out
+
     def inverse_rotate(self, y: jax.Array) -> jax.Array:
         """Inverse rotation: [..., padded_dim] -> [..., dim]
         (``rotation.rs:410-480``)."""
@@ -222,6 +269,16 @@ class MatrixRotator:
             x = jnp.pad(x, widths)
         # output[row] = sum_j matrix[row, j] * x[j]  ->  x @ M^T
         return x @ self.matrix.T
+
+    def rotate_np(self, x: np.ndarray) -> np.ndarray:
+        """Host numpy forward rotation (mirrors :meth:`rotate`)."""
+        x = np.ascontiguousarray(x, np.float32)
+        assert x.shape[-1] == self.dim
+        pad = self.padded_dim - self.dim
+        if pad:
+            widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+            x = np.pad(x, widths)
+        return x @ self._matrix_np.T
 
     def inverse_rotate(self, y: jax.Array) -> jax.Array:
         y = jnp.asarray(y, jnp.float32)

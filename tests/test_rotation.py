@@ -3,6 +3,7 @@
 for power-of-2 and non-power-of-2 dims, serialization round-trips."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -81,3 +82,19 @@ def test_padding_requirement():
     assert RotatorType.FhtKacRotator.padding_requirement(960) == 960
     assert RotatorType.FhtKacRotator.padding_requirement(100) == 128
     assert RotatorType.MatrixRotator.padding_requirement(100) == 100
+
+
+@pytest.mark.parametrize("dim", [64, 128, 100, 60])
+def test_rotate_np_matches_device(dim, rng):
+    """Host numpy rotation mirrors the device path (used by the exact
+    t-sweep so build-time flows avoid tunnel round trips)."""
+    x = rng.standard_normal((16, dim)).astype(np.float32)
+    for make in (
+        lambda: FhtKacRotator(dim, seed=3),
+        lambda: MatrixRotator(dim, seed=3),
+    ):
+        rot = make()
+        dev = np.asarray(jax.jit(rot.rotate)(jnp.asarray(x)))
+        host = rot.rotate_np(x)
+        assert host.shape == dev.shape
+        np.testing.assert_allclose(host, dev, rtol=2e-6, atol=2e-6)
