@@ -395,11 +395,16 @@ class MstgIndex:
         if cur.take(4) != _MAGIC:
             raise InvalidPersistence("unrecognized file header")
         version = cur.u32()
+        if version == 1:
+            # the reference's bincode multi-file format (mstg/io.rs:14-245)
+            from .ref_io import load_reference_mstg
+
+            return load_reference_mstg(path, scan_dtype=scan_dtype)
         if version not in (1001, _VERSION):
             raise InvalidPersistence(
-                f"unsupported MSTG format version {version} (this library "
-                "reads its own v1001/v1002 single-file format; the "
-                "reference's bincode multi-file format is separate)"
+                f"unsupported MSTG format version {version} (supported: the "
+                "native v1001/v1002 single-file format and the reference's "
+                "bincode v1 multi-file format)"
             )
         stored_crc = struct.unpack("<I", data[-4:])[0]
         if zlib.crc32(data[8:-4]) != stored_crc:
