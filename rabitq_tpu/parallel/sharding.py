@@ -57,7 +57,20 @@ def replicate(mesh: Mesh, *arrays):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "top_k", "nprobe", "rerank", "metric", "ex_bits", "scan_dtype"),
+    static_argnames=(
+        "mesh",
+        "top_k",
+        "nprobe",
+        "rerank",
+        "metric",
+        "ex_bits",
+        "scan_dtype",
+        "use_prune_epsilon",
+        "refine_ex",
+        "clamp_l2",
+        "centroid_select_l2",
+        "approx_topk",
+    ),
 )
 def sharded_scan(
     q_rot: jax.Array,
@@ -72,6 +85,7 @@ def sharded_scan(
     cluster_of: jax.Array,
     row_allowed: jax.Array,
     ids: jax.Array,
+    prune_epsilon: jax.Array | float = 0.0,
     *,
     mesh: Mesh,
     top_k: int,
@@ -80,12 +94,17 @@ def sharded_scan(
     metric: Metric,
     ex_bits: int,
     scan_dtype: str,
+    use_prune_epsilon: bool = False,
+    refine_ex: bool = True,
+    clamp_l2: bool = False,
+    centroid_select_l2: bool = False,
+    approx_topk: bool = True,
 ):
     """Row-sharded batched search over a device mesh.
 
-    Same contract as ``scan_kernel`` but with the row-axis arrays sharded
-    over ``mesh``. Per-device local top-k candidates are merged with one
-    all_gather.
+    Same contract as ``scan_kernel`` (incl. the MSTG pruning/refinement
+    flags) but with the row-axis arrays sharded over ``mesh``. Per-device
+    local top-k candidates are merged with one all_gather.
     """
     # Each device contributes its local top_k; the union of per-shard
     # top_k sets always contains the global top_k.
@@ -93,7 +112,7 @@ def sharded_scan(
     row_spec = P(SHARD_AXIS)
     row_spec2 = P(SHARD_AXIS, None)
 
-    def per_device(q, cents, b, e, fa, fr, fe, fae, fre, cof, allow, idv):
+    def per_device(q, cents, b, e, fa, fr, fe, fae, fre, cof, allow, idv, peps):
         loc_ids, loc_dist = scan_kernel(
             q,
             cents,
@@ -107,12 +126,18 @@ def sharded_scan(
             cof,
             allow,
             idv,
+            prune_epsilon=peps,
             top_k=local_k,
             nprobe=nprobe,
             rerank=rerank,
             metric=metric,
             ex_bits=ex_bits,
             scan_dtype=scan_dtype,
+            use_prune_epsilon=use_prune_epsilon,
+            refine_ex=refine_ex,
+            clamp_l2=clamp_l2,
+            centroid_select_l2=centroid_select_l2,
+            approx_topk=approx_topk,
         )
         # candidate merge over ICI: [B, local_k] -> [B, n_dev * local_k]
         all_ids = jax.lax.all_gather(loc_ids, SHARD_AXIS, axis=1, tiled=True)
@@ -136,6 +161,7 @@ def sharded_scan(
             row_spec,  # cluster_of
             row_spec,  # row_allowed
             row_spec,  # ids
+            P(),  # prune_epsilon (replicated traced scalar)
         ),
         out_specs=(P(), P()),
         check_vma=False,
@@ -152,6 +178,7 @@ def sharded_scan(
         cluster_of,
         row_allowed,
         ids,
+        jnp.float32(prune_epsilon),
     )
 
 
@@ -166,6 +193,87 @@ class ShardedIvfIndex:
         sharded = sharding.ShardedIvfIndex(index, mesh)
         ids, dists = sharded.batch_search_arrays(queries, params)
     """
+
+    @classmethod
+    def train(
+        cls,
+        data: np.ndarray,
+        nlist: int,
+        total_bits: int,
+        metric: Metric = Metric.L2,
+        mesh: Mesh | None = None,
+        seed: int = 42,
+        use_faster_config: bool = False,
+        kmeans_iters: int = 25,
+        scan_dtype: str = "bf16",
+    ) -> "ShardedIvfIndex":
+        """End-to-end sharded build: data-parallel k-means (psum over ICI),
+        row-sharded rotate+quantize, then row-sharded serving — the public
+        multi-chip pipeline (SURVEY §2.3 row 5)."""
+        from ..index.ivf import HostCodes, IvfRabitqIndex
+        from ..ops.quantize import compute_const_scaling_factor
+        from ..ops.rotation import make_rotator
+        from ..types import RotatorType
+
+        mesh = mesh or make_mesh()
+        data = np.ascontiguousarray(data, np.float32)
+        IvfRabitqIndex._validate_train_args(data, nlist, total_bits)
+        km = sharded_kmeans(data, nlist, mesh=mesh, niter=kmeans_iters, seed=seed)
+
+        n, dim = data.shape
+        ex_bits = total_bits - 1
+        rotator = make_rotator(dim, RotatorType.FhtKacRotator, seed)
+        rotated_cents = rotator.rotate_np(km.centroids)
+
+        order = np.argsort(km.assignments, kind="stable")
+        sizes = np.bincount(km.assignments, minlength=nlist)
+        offsets = np.zeros(nlist + 1, np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        assign_sorted = km.assignments[order]
+
+        t_const, t_rows = 0.0, None
+        if ex_bits > 0:
+            if use_faster_config:
+                t_const = compute_const_scaling_factor(
+                    rotator.padded_dim, ex_bits, seed
+                )
+            else:
+                from ..index.build import exact_t_rows
+
+                t_rows = exact_t_rows(
+                    data, km.centroids, assign_sorted, order, rotator, ex_bits
+                )
+        codes = sharded_build_codes(
+            data[order],
+            rotated_cents,
+            assign_sorted,
+            mesh=mesh,
+            rotator=rotator,
+            ex_bits=ex_bits,
+            metric=metric,
+            use_t_const=use_faster_config,
+            t_const=t_const,
+            t_rows=t_rows,
+        )
+        host = HostCodes(
+            binary_bits=codes["binary"],
+            ex_codes=codes["ex"],
+            f_add=codes["f_add"],
+            f_rescale=codes["f_rescale"],
+            f_error=codes["f_error"],
+            f_add_ex=codes["f_add_ex"],
+            f_rescale_ex=codes["f_rescale_ex"],
+            delta=codes["delta"],
+            vl=codes["vl"],
+            ids=order.astype(np.int64),
+            cluster_offsets=offsets,
+            centroids=rotated_cents,
+        )
+        index = IvfRabitqIndex(
+            dim, rotator.padded_dim, metric, rotator, ex_bits, host,
+            scan_dtype=scan_dtype,
+        )
+        return cls(index, mesh)
 
     def __init__(self, index, mesh: Mesh | None = None):
         import numpy as np
@@ -227,21 +335,129 @@ class ShardedIvfIndex:
         return jax.device_get((ids, dists))
 
 
+class ShardedMstgIndex:
+    """Row-sharded serving wrapper around a built ``MstgIndex``.
+
+    Same structure as :class:`ShardedIvfIndex` — posting-list rows shard
+    across the mesh, centroids/queries replicate, and the per-device scan
+    keeps the MSTG semantics (ef_search probe count, dynamic ε-pruning,
+    f_error = 0, L2 clamp, optional ex refinement) before the all-gather
+    candidate merge.
+    """
+
+    def __init__(self, index, mesh: Mesh | None = None):
+        self.index = index
+        self.mesh = mesh or make_mesh()
+        dev = index.device  # DeviceLayout
+        n_dev = self.mesh.shape[SHARD_AXIS]
+        rows = int(dev.binary.shape[0])
+        pad_to = ((rows + n_dev - 1) // n_dev) * n_dev
+
+        def padded(x, fill=0):
+            x = np.asarray(x)
+            if x.shape[0] == pad_to:
+                return x
+            out = np.full((pad_to, *x.shape[1:]), fill, x.dtype)
+            out[:rows] = x
+            return out
+
+        self._rows = shard_rows(
+            self.mesh,
+            padded(dev.binary),
+            padded(dev.ex),
+            padded(dev.f_add),
+            padded(dev.f_rescale),
+            padded(dev.f_error),
+            padded(dev.f_add_ex),
+            padded(dev.f_rescale_ex),
+            padded(dev.cluster_of),
+            padded(dev.valid),
+            padded(dev.ids, fill=-1),
+        )
+        (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
+
+    def batch_search(self, queries: np.ndarray, params) -> list:
+        from ..types import Metric, SearchResult
+
+        index = self.index
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        b = queries.shape[0]
+        q = queries
+        if index.rotator is not None:
+            q = index.rotator.rotate_np(queries)
+        (q_rep,) = replicate(self.mesh, q)
+
+        rerank = max(
+            params.resolved_rerank(),
+            int(np.ceil(params.top_k * index.replication_factor())) + 16,
+        )
+        ids, dists = sharded_scan(
+            q_rep,
+            self._centroids,
+            *self._rows,
+            prune_epsilon=params.pruning_epsilon,
+            mesh=self.mesh,
+            top_k=rerank,  # fetch the dedup budget, like MstgIndex does
+            nprobe=params.ef_search,
+            rerank=rerank,
+            metric=index.config.metric,
+            ex_bits=index.config.rabitq_bits - 1,
+            scan_dtype="bf16" if index.scan_dtype == "packed" else index.scan_dtype,
+            use_prune_epsilon=True,
+            refine_ex=index.config.refine_ex,
+            clamp_l2=True,
+            centroid_select_l2=True,
+            approx_topk=index.approx_topk,
+        )
+        ids, dists = jax.device_get((ids, dists))
+        out = []
+        for row_ids, row_d in zip(ids[:b], dists[:b]):
+            seen: set[int] = set()
+            hits = []
+            for i, dd in zip(row_ids, row_d):
+                if i < 0 or not np.isfinite(dd) or int(i) in seen:
+                    continue
+                seen.add(int(i))
+                score = (
+                    float(dd)
+                    if index.config.metric is Metric.L2
+                    else float(-dd)
+                )
+                hits.append(SearchResult(id=int(i), score=score))
+                if len(hits) >= params.top_k:
+                    break
+            out.append(hits)
+        return out
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "block"))
 def sharded_kmeans_step(
-    data: jax.Array, centroids: jax.Array, *, mesh: Mesh, k: int, block: int
+    data: jax.Array,
+    centroids: jax.Array,
+    valid: jax.Array | None = None,
+    *,
+    mesh: Mesh,
+    k: int,
+    block: int,
 ):
     """One data-parallel Lloyd iteration over the mesh: local GEMM
     assignment + segment sums, then psum of (sums, counts) over ICI — the
-    multi-chip analogue of ``ops/kmeans._lloyd_step``."""
+    multi-chip analogue of ``ops/kmeans._lloyd_step``.
+
+    ``valid`` (row-sharded bool, optional) routes padding rows to a
+    scratch segment so they contribute nothing."""
     from ..ops.kmeans import _assign_blocks
 
-    def per_device(x, c):
+    if valid is None:
+        valid = jnp.ones((data.shape[0],), bool)
+
+    def per_device(x, c, v):
         assign, dists = _assign_blocks(x, c, block)
-        sums = jax.ops.segment_sum(x, assign, num_segments=k)
+        seg = jnp.where(v, assign, k)  # padding -> scratch segment
+        sums = jax.ops.segment_sum(x, seg, num_segments=k + 1)[:k]
         counts = jax.ops.segment_sum(
-            jnp.ones((x.shape[0],), jnp.float32), assign, num_segments=k
-        )
+            jnp.ones((x.shape[0],), jnp.float32), seg, num_segments=k + 1
+        )[:k]
         sums = jax.lax.psum(sums, SHARD_AXIS)
         counts = jax.lax.psum(counts, SHARD_AXIS)
         return sums, counts, assign
@@ -249,7 +465,131 @@ def sharded_kmeans_step(
     return jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P()),
+        in_specs=(P(SHARD_AXIS, None), P(), P(SHARD_AXIS)),
         out_specs=(P(), P(), P(SHARD_AXIS)),
         check_vma=False,
-    )(data, centroids)
+    )(data, centroids, valid)
+
+
+def sharded_kmeans(
+    data: np.ndarray,
+    k: int,
+    *,
+    mesh: Mesh,
+    niter: int = 25,
+    seed: int = 42,
+    max_points_per_centroid: int = 256,
+):
+    """Full data-parallel k-means over the mesh.
+
+    Rows are sharded; each Lloyd iteration is one ``sharded_kmeans_step``
+    (local GEMM assignment + segment sums, psum over ICI). Init is
+    k-means++ on a replicated subsample (tiny); empty clusters reseed
+    from random rows. Returns ``ops.kmeans.KMeansResult``.
+    """
+    from ..ops.kmeans import KMeansResult, _kmeanspp_init
+
+    data = np.ascontiguousarray(data, np.float32)
+    n, dim = data.shape
+    n_dev = mesh.shape[SHARD_AXIS]
+    rng = np.random.default_rng(seed)
+
+    # rows per device padded to a block multiple
+    block = int(max(256, min(8192, (1 << 22) // max(k, 1))))
+    per_dev = ((n + n_dev - 1) // n_dev + block - 1) // block * block
+    n_pad = per_dev * n_dev
+    data_pad = np.zeros((n_pad, dim), np.float32)
+    data_pad[:n] = data
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    (data_sh, valid_sh) = shard_rows(mesh, data_pad, valid)
+
+    # k-means++ init on a replicated subsample (one small single-shard op)
+    target = int(min(n, max(k * max_points_per_centroid // 8, k)))
+    sub = data[rng.permutation(n)[:target]]
+    sub_pad = np.zeros((((target + 255) // 256) * 256, dim), np.float32)
+    sub_pad[:target] = sub
+    key = jax.random.PRNGKey(seed * 1_000_003)
+    centroids = np.asarray(_kmeanspp_init(jnp.asarray(sub_pad), key, k, target))
+
+    assign_sh = None
+    for _ in range(niter):
+        (cents_rep,) = replicate(mesh, centroids)
+        sums, counts, assign_sh = sharded_kmeans_step(
+            data_sh, cents_rep, valid_sh, mesh=mesh, k=k, block=block
+        )
+        counts_np = np.asarray(counts)
+        centroids = np.asarray(sums) / np.maximum(counts_np, 1.0)[:, None]
+        empty = counts_np == 0
+        if empty.any():  # reseed empties from random valid rows
+            centroids[empty] = data[rng.integers(0, n, int(empty.sum()))]
+
+    assignments = np.asarray(assign_sh)[:n].astype(np.int32)
+    # objective: recompute from final assignment (cheap, host)
+    diffs = data - centroids[assignments]
+    objective = float(np.sum(diffs * diffs, dtype=np.float64))
+    return KMeansResult(
+        centroids=centroids.astype(np.float32),
+        assignments=assignments,
+        objective=objective,
+    )
+
+
+def sharded_build_codes(
+    data_sorted: np.ndarray,  # [M, dim] rows in storage order (host)
+    rotated_centroids: np.ndarray,  # [C, Dpad]
+    assign_sorted: np.ndarray,  # [M] cluster per row
+    *,
+    mesh: Mesh,
+    rotator,
+    ex_bits: int,
+    metric: Metric,
+    use_t_const: bool,
+    t_const: float = 0.0,
+    t_rows: np.ndarray | None = None,
+) -> dict:
+    """Row-sharded rotate + quantize over the mesh (the multi-chip build's
+    compute stage). Rotation is per-row, so the row sharding carries
+    through with zero collectives. Returns host arrays in row order."""
+    from ..ops.quantize import quantize_block
+
+    m, dim = data_sorted.shape
+    n_dev = mesh.shape[SHARD_AXIS]
+    m_pad = ((m + n_dev - 1) // n_dev) * n_dev
+
+    def padded(x, fill=0.0):
+        out = np.full((m_pad, *x.shape[1:]), fill, x.dtype)
+        out[:m] = x
+        return out
+
+    rows = padded(np.ascontiguousarray(data_sorted, np.float32))
+    cents = padded(rotated_centroids[assign_sorted].astype(np.float32))
+    t_pad = np.full(m_pad, t_const, np.float32)
+    if t_rows is not None:
+        t_pad[:m] = t_rows
+    rows_sh, cents_sh, t_sh = shard_rows(mesh, rows, cents, t_pad)
+
+    rotate = rotator.rotate if rotator is not None else (lambda x: x)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def qfn(x, c, t):
+        return quantize_block(
+            rotate(x),
+            c,
+            ex_bits=ex_bits,
+            metric=metric,
+            t_const=t,
+            use_t_const=bool((use_t_const or t_rows is not None) and ex_bits > 0),
+        )
+
+    qb = qfn(rows_sh, cents_sh, t_sh)
+    out = {
+        "binary": np.asarray(qb.binary)[:m].astype(np.uint8),
+        "ex": np.asarray(qb.ex)[:m].astype(np.uint16),
+    }
+    for name in (
+        "delta", "vl", "f_add", "f_rescale", "f_error", "f_add_ex",
+        "f_rescale_ex", "residual_norm",
+    ):
+        out[name] = np.asarray(getattr(qb, name))[:m].astype(np.float32)
+    return out

@@ -57,3 +57,47 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_train_matches_single_chip_quality(rng=None):
+    """ShardedIvfIndex.train must reach the same recall as a single-chip
+    train on the same data (clusterings differ; quality must not)."""
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((1024, 64)).astype(np.float32)
+    queries = data[:32]
+    mesh = sh.make_mesh(8)
+    sharded = sh.ShardedIvfIndex.train(
+        data, nlist=16, total_bits=7, mesh=mesh, seed=3,
+        use_faster_config=True, kmeans_iters=6, scan_dtype="f32",
+    )
+    params = SearchParams(top_k=5, nprobe=16)
+    ids, dists = sharded.batch_search_arrays(queries, params)
+    # nprobe = nlist + 7-bit codes: every query must find itself first
+    assert all(ids[i][0] == i for i in range(32))
+    assert np.isfinite(dists[:, 0]).all()
+    # exact-t path compiles and works sharded too
+    sharded_exact = sh.ShardedIvfIndex.train(
+        data[:512], nlist=8, total_bits=5, mesh=mesh, seed=3,
+        use_faster_config=False, kmeans_iters=4, scan_dtype="f32",
+    )
+    ids2, _ = sharded_exact.batch_search_arrays(data[:8], SearchParams(5, 8))
+    assert all(ids2[i][0] == i for i in range(8))
+
+
+def test_sharded_mstg_matches_single_chip():
+    from rabitq_tpu import MstgConfig, MstgIndex, MstgSearchParams
+
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal((800, 64)).astype(np.float32)
+    index = MstgIndex.build(
+        data, MstgConfig(max_posting_size=64, faster_config=True), seed=1,
+        scan_dtype="f32",
+    )
+    mesh = sh.make_mesh(8)
+    smstg = sh.ShardedMstgIndex(index, mesh)
+    params = MstgSearchParams(top_k=5, ef_search=16, pruning_epsilon=0.8)
+    got = smstg.batch_search(data[:16], params)
+    want = index.batch_search(data[:16], params)
+    assert [[r.id for r in row] for row in got] == [
+        [r.id for r in row] for row in want
+    ]
