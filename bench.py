@@ -164,10 +164,10 @@ def main():
     rec, qps = qps_at[chosen]
     params = SearchParams(top_k=args.top_k, nprobe=chosen)
 
-    # --- scan-dtype comparison at the operating point (packed Pallas vs
-    # dense bf16) — the faster one is the headline ---
+    # --- scan-dtype comparison at the operating point (fused Pallas
+    # scan+select vs packed Pallas vs dense bf16) — fastest is the headline
     dtype_qps = {"bf16": qps}
-    for dt in ("packed",):
+    for dt in ("packed", "fused"):
         try:
             index.scan_dtype = dt
             all_ids = []

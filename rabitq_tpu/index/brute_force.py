@@ -214,6 +214,11 @@ class BruteForceRabitqIndex:
 
         dev = self.device
         packed = None
+        if self.scan_dtype == "fused":
+            # brute force scans every row anyway (no cluster pruning to
+            # fold), so the fused selection kernel buys nothing here; the
+            # dense bf16 path is the equivalent configuration
+            self.scan_dtype = "bf16"
         if self.scan_dtype == "packed":
             if getattr(self, "_packed", None) is None:
                 from ..ops.pallas_scan import pack_bitplanes

@@ -102,6 +102,12 @@ class IvfRabitqIndex:
         self._device: DeviceIndex | None = None
         self._device_perm: np.ndarray | None = None
         self._packed: jax.Array | None = None  # bitplane plane (scan_dtype="packed")
+        # "bf16" halves query-upload bytes over the host link (rounding is
+        # 2^-9 relative — below the bf16 scan's own operand rounding);
+        # the fused program casts back to f32 before rotating.
+        self.upload_dtype: str = "f32"
+        self._device_mode: str | None = None  # see _layout_mode
+        self._fused_cblk: jax.Array | None = None
         # Persistent jit wrappers — constructing jax.jit per call would
         # retrace and recompile on every search. The fused program runs
         # rotation + scan in ONE device dispatch (see scan.make_fused_search).
@@ -114,10 +120,10 @@ class IvfRabitqIndex:
             self._host = self._download_host()
         return self._host
 
-    def _download_host(self) -> HostCodes:
+    def _download_host(self, dev: DeviceIndex | None = None) -> HostCodes:
         """Materialize host code arrays from the device copy (inverse of the
         device row permutation)."""
-        dev = self.device
+        dev = dev if dev is not None else self.device
         n = int(self._ids.shape[0])
         # the row stored at host position r sits at device position
         # pos_of_row[r] (inverse of the device permutation)
@@ -328,8 +334,10 @@ class IvfRabitqIndex:
             centroids=jnp.asarray(self._centroids_np),
             delta=codes_dev["delta"],
             vl=codes_dev["vl"],
+            **self._layout_kwargs(),
         )
         self._device_perm = lay.perm
+        self._device_mode = self._layout_mode()
         return lay
 
     # ------------------------------------------------------------------
@@ -338,9 +346,27 @@ class IvfRabitqIndex:
 
     @property
     def device(self) -> DeviceIndex:
+        if self._device is not None and self._device_mode != self._layout_mode():
+            # scan_dtype switched layout modes (fused <-> approx): download
+            # host planes through the OLD layout first, then rebuild
+            if self._host is None:
+                self._host = self._download_host(self._device)
+            self._device = None
         if self._device is None:
             self._device = self._to_device()
         return self._device
+
+    def _layout_mode(self) -> str:
+        """'sorted' (cluster-contiguous, TN-padded — fused Pallas scan) or
+        'perm' (pseudorandom scatter — approx_max_k paths)."""
+        return "sorted" if self.scan_dtype == "fused" else "perm"
+
+    def _layout_kwargs(self) -> dict:
+        if self._layout_mode() == "sorted":
+            from ..ops.pallas_fused_scan import TN
+
+            return {"permute": False, "row_pad": TN}
+        return {}
 
     def _to_device(self) -> DeviceIndex:
         h = self.host
@@ -360,8 +386,12 @@ class IvfRabitqIndex:
             centroids=h.centroids,
             delta=h.delta,
             vl=h.vl,
+            **self._layout_kwargs(),
         )
         self._device_perm = lay.perm
+        self._device_mode = self._layout_mode()
+        self._packed = None  # plane layouts differ per mode
+        self._fused_cblk = None
         return lay
 
     # ------------------------------------------------------------------
@@ -433,28 +463,106 @@ class IvfRabitqIndex:
             b = queries.shape[0]
             return (np.full((b, 0), -1, np.int32), np.full((b, 0), np.inf, np.float32))
 
+        dev, packed, row_allowed = self._scan_inputs(filter_ids)
+        b = queries.shape[0]
+        # rotation + scan in one device program, the query passed as a host
+        # array so its upload rides the same dispatch: ONE tunnel round trip
+        ids, dists = self._dispatch_scan(
+            self._pad_queries(queries, _pad_pow2(b)), params, dev, packed, row_allowed
+        )
+        # one fetch for both outputs: a second np.asarray costs another
+        # ~30 ms tunnel round trip
+        ids, dists = jax.device_get((ids, dists))
+        return ids[:b], dists[:b]
+
+    def batch_search_arrays_pipelined(
+        self,
+        queries: np.ndarray,
+        params: SearchParams,
+        batch_size: int = 1024,
+        filter_ids: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Array search over many fixed-size blocks with upload/compute
+        overlap — the serving-loop analogue of the streamed tier's double
+        buffering.
+
+        Block i+1's query upload (async ``device_put``) is in flight while
+        block i's scan runs, and every block's small ``[batch, k]`` result
+        is fetched in ONE final ``device_get``, so end-to-end time
+        approaches ``max(total_upload, total_compute)`` instead of their
+        sum. Results are identical to ``batch_search_arrays``; all blocks
+        share one compiled program (fixed block shape).
+        """
+        if self.is_empty:
+            raise EmptyIndex()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, queries.shape[1])
+        b_total = queries.shape[0]
+        if params.top_k <= 0:
+            return (
+                np.full((b_total, 0), -1, np.int32),
+                np.full((b_total, 0), np.inf, np.float32),
+            )
+        dev, packed, row_allowed = self._scan_inputs(filter_ids)
+        bs = _pad_pow2(min(batch_size, _pad_pow2(b_total)))
+        starts = list(range(0, b_total, bs))
+
+        def _stage(s):
+            return jax.device_put(self._pad_queries(queries[s : s + bs], bs))
+
+        pending = []
+        staged = _stage(starts[0])
+        for i in range(len(starts)):
+            cur, staged = staged, None
+            if i + 1 < len(starts):
+                staged = _stage(starts[i + 1])  # overlaps this block's scan
+            pending.append(self._dispatch_scan(cur, params, dev, packed, row_allowed))
+        fetched = jax.device_get(pending)
+        # valid rows sit at the head of each block; only the last is short
+        ids = np.concatenate([f[0] for f in fetched])[:b_total]
+        dists = np.concatenate([f[1] for f in fetched])[:b_total]
+        return ids, dists
+
+    def _scan_inputs(self, filter_ids: np.ndarray | None):
+        """Device layout + packed plane + row mask shared by search paths."""
         dev = self.device
         packed = None
-        if self.scan_dtype == "packed":
+        if self.scan_dtype in ("packed", "fused"):
             if self._packed is None:
                 from ..ops.pallas_scan import pack_bitplanes
 
                 self._packed = pack_bitplanes(dev.binary, self.padded_dim)
             packed = self._packed
+        if self.scan_dtype == "fused" and self._fused_cblk is None:
+            from ..ops.pallas_fused_scan import tile_cluster_blocks
+            from .layout import cluster_of_rows
+
+            n = len(self)
+            n_pad = int(dev.binary.shape[0])
+            cluster_of = cluster_of_rows(np.diff(self._offsets), n_pad)
+            valid = np.arange(n_pad) < n
+            self._fused_cblk = jnp.asarray(tile_cluster_blocks(cluster_of, valid))
         row_allowed = dev.valid
         if filter_ids is not None:
             mask = self._row_filter(filter_ids)
             row_allowed = row_allowed & jnp.asarray(mask)
+        return dev, packed, row_allowed
 
-        b = queries.shape[0]
-        b_pad = _pad_pow2(b)
+    def _pad_queries(self, queries: np.ndarray, b_pad: int) -> np.ndarray:
         q = np.zeros((b_pad, self.dim), np.float32)
-        q[:b] = queries
+        q[: queries.shape[0]] = queries
+        if self.upload_dtype == "bf16":
+            import ml_dtypes
 
-        # rotation + scan in one device program, the query passed as a host
-        # array so its upload rides the same dispatch: ONE tunnel round trip
-        ids, dists = self._fused_scan(
-            q,
+            q = q.astype(ml_dtypes.bfloat16)
+        return q
+
+    def _dispatch_scan(self, q_padded, params, dev, packed, row_allowed):
+        """Enqueue rotation+scan on a padded query block; returns device
+        arrays (callers fetch — lets serving loops pipeline)."""
+        return self._fused_scan(
+            q_padded,
             dev.centroids,
             dev.binary,
             dev.ex,
@@ -467,6 +575,7 @@ class IvfRabitqIndex:
             row_allowed,
             dev.ids,
             packed=packed,
+            fused_cblk=self._fused_cblk,
             top_k=params.top_k,
             nprobe=params.nprobe,
             rerank=params.resolved_rerank(),
@@ -475,10 +584,6 @@ class IvfRabitqIndex:
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
         )
-        # one fetch for both outputs: a second np.asarray costs another
-        # ~30 ms tunnel round trip
-        ids, dists = jax.device_get((ids, dists))
-        return ids[:b], dists[:b]
 
     def search_with_diagnostics(
         self, query: np.ndarray, params: SearchParams

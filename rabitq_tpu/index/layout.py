@@ -122,10 +122,17 @@ def assemble_device_layout(
     vl=None,
     zero_f_error: bool = False,  # MSTG zeroes f_error in its scan (mstg/index.rs:285)
     row_pad: int = _ROW_PAD,
+    permute: bool = True,  # False: keep cluster-sorted order (fused Pallas
+    # scan — its mod-L binning needs no iid scatter and its g-term windows
+    # need cluster-contiguous rows; approx_max_k paths need permute=True)
 ) -> DeviceLayout:
     """Build the padded + permuted device layout from cluster-sorted rows."""
     n_pad = pad_rows(n, row_pad)
-    perm = device_row_permutation(n, n_pad)
+    perm = (
+        device_row_permutation(n, n_pad)
+        if permute
+        else np.arange(n_pad, dtype=np.int64)
+    )
 
     cluster_of = cluster_of_rows(cluster_sizes, n_pad)
     valid = np.zeros(n_pad, bool)

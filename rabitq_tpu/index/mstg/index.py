@@ -225,12 +225,24 @@ class MstgIndex:
         )
         return code_bytes + factor_bytes + cent_bytes
 
+    def _layout_mode(self) -> str:
+        return "sorted" if self.scan_dtype == "fused" else "perm"
+
     @property
     def device(self):
+        if self._device is not None and getattr(self, "_device_mode", None) != self._layout_mode():
+            self._device = None  # MSTG is host-built: just re-assemble
+            self._packed = None
+            self._fused_cblk = None
         if self._device is None:
             h = self.host
             from ..layout import assemble_device_layout
 
+            kwargs = {}
+            if self._layout_mode() == "sorted":
+                from ...ops.pallas_fused_scan import TN
+
+                kwargs = {"permute": False, "row_pad": TN}
             self._device = assemble_device_layout(
                 n=self.total_rows,
                 ex_bits=self.config.rabitq_bits - 1,
@@ -245,7 +257,9 @@ class MstgIndex:
                 centroids=h.centroids,
                 # reference MSTG zeroes f_error in its scan (mstg/index.rs:285)
                 zero_f_error=True,
+                **kwargs,
             )
+            self._device_mode = self._layout_mode()
         return self._device
 
     # ------------------------------------------------------------------
@@ -268,12 +282,23 @@ class MstgIndex:
 
         dev = self.device
         packed = None
-        if self.scan_dtype == "packed":
+        fused_cblk = None
+        if self.scan_dtype in ("packed", "fused"):
             if getattr(self, "_packed", None) is None:
                 from ...ops.pallas_scan import pack_bitplanes
 
                 self._packed = pack_bitplanes(dev.binary, self.quant_dim)
             packed = self._packed
+        if self.scan_dtype == "fused":
+            if getattr(self, "_fused_cblk", None) is None:
+                from ...ops.pallas_fused_scan import tile_cluster_blocks
+                from ..layout import cluster_of_rows
+
+                n_pad = int(dev.binary.shape[0])
+                cl = cluster_of_rows(np.diff(self.host.list_offsets), n_pad)
+                valid = np.arange(n_pad) < self.total_rows
+                self._fused_cblk = jnp.asarray(tile_cluster_blocks(cl, valid))
+            fused_cblk = self._fused_cblk
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.dim), np.float32)
         q[:b] = queries
@@ -297,6 +322,7 @@ class MstgIndex:
             nprobe=jnp.int32(params.ef_search),
             prune_epsilon=jnp.float32(params.pruning_epsilon),
             packed=packed,
+            fused_cblk=fused_cblk,
             top_k=fetch_k,
             rerank=rerank,
             metric=self.config.metric,

@@ -150,7 +150,8 @@ def scan_kernel(
     ids: jax.Array,  # [Np] int32 original vector ids
     nprobe: jax.Array | int = 1,  # traced: sweeping nprobe does not recompile
     prune_epsilon: jax.Array | float = 0.0,  # traced (MSTG dynamic pruning)
-    packed: jax.Array | None = None,  # [Np, Db] uint8 bitplanes (scan_dtype="packed")
+    packed: jax.Array | None = None,  # [Np, Db] uint8 bitplanes ("packed"/"fused")
+    fused_cblk: jax.Array | None = None,  # [N_tiles] int32 ("fused" windows)
     *,
     top_k: int,
     rerank: int,
@@ -214,10 +215,50 @@ def scan_kernel(
     probe_mask = jnp.zeros((b, n_clusters), jnp.bool_)
     probe_mask = probe_mask.at[jnp.arange(b)[:, None], ranked].max(within)
 
+    if scan_dtype == "fused" and not with_diagnostics:
+        # Fully fused Pallas stage-1 + selection (ops/pallas_fused_scan.py):
+        # no [B, N] tensor is ever materialized — the per-cluster g-terms
+        # expand in-kernel over cluster-sorted rows and survivors come from
+        # an in-VMEM bin accumulator. Masks fold into VALUES (BIG sentinel):
+        # rows outside the filter via f_add, unprobed clusters via g_add.
+        from ..ops.pallas_fused_scan import BIG, fused_select
+
+        assert packed is not None and fused_cblk is not None, (
+            "scan_dtype='fused' needs the packed plane and c_blk windows"
+        )
+        fa_eff = jnp.where(row_allowed, f_add, BIG)
+        cand_idx, cand_ok = fused_select(
+            q_rot,
+            packed,
+            fa_eff,
+            f_rescale,
+            f_error,
+            cluster_of,
+            qc.k1x_sum_q,
+            g_add,
+            g_error,
+            probe_mask,
+            fused_cblk,
+            rerank,
+            d,
+        )
+        rerank = cand_idx.shape[1]
+        return _stage2_rerank(
+            q_rot, qc, g_add, binary, ex, f_add, f_rescale, f_add_ex,
+            f_rescale_ex, cluster_of, ids, cand_idx, cand_ok,
+            top_k=top_k, rerank=rerank, metric=metric, ex_bits=ex_bits,
+            scan_dtype=scan_dtype, refine_ex=refine_ex, clamp_l2=clamp_l2,
+        )
+
     # --- stage 1: dense 1-bit estimate for every row ---
     # bf16 gathers: these [B, Np] planes are pure HBM traffic; g-term
     # magnitudes are distances, so 2^-9 relative rounding is far below the
     # quantization error. The f32 oracle path keeps full precision.
+    # (scan_dtype="fused" lands here only for with_diagnostics — the dense
+    # oracle fallback on the cluster-sorted layout, with exact selection.)
+    if scan_dtype == "fused":
+        scan_dtype = "bf16"
+        approx_topk = False  # cluster-sorted rows break approx_max_k's bins
     g_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
     g_add_rows = jnp.take(g_add.astype(g_dtype), cluster_of, axis=1)  # [B, Np]
     g_err_rows = jnp.take(g_error.astype(g_dtype), cluster_of, axis=1)
@@ -266,12 +307,36 @@ def scan_kernel(
         neg_lb, cand_idx = jax.lax.top_k(-masked_lb, rerank)  # [B, R]
     cand_ok = neg_lb > -jnp.inf
 
-    # --- stage 2: high-precision re-rank of survivors (ivf.rs:2060-2099) ---
-    # Integer codes <= 127 are EXACT in bf16, so bf16 operands with f32
-    # accumulation only round the query (2^-9 relative — far below the
-    # quantization error and the reference's own i8-LUT stage); it halves
-    # the conversion buffer feeding the MXU. The f32 oracle config keeps
-    # full f32 operands.
+    result_ids, result_dist = _stage2_rerank(
+        q_rot, qc, g_add, binary, ex, f_add, f_rescale, f_add_ex,
+        f_rescale_ex, cluster_of, ids, cand_idx, cand_ok,
+        top_k=top_k, rerank=rerank, metric=metric, ex_bits=ex_bits,
+        scan_dtype=scan_dtype, refine_ex=refine_ex, clamp_l2=clamp_l2,
+    )
+    if not with_diagnostics:
+        return result_ids, result_dist
+    probed = jnp.sum(allowed, axis=1, dtype=jnp.int32)  # 1-bit estimates computed
+    survivors = jnp.sum(cand_ok, axis=1, dtype=jnp.int32)  # passed the cut
+    extended = survivors if (ex_bits > 0 and refine_ex) else jnp.zeros_like(survivors)
+    diag = jnp.stack([survivors, probed - survivors, extended], axis=1)
+    return result_ids, result_dist, diag
+
+
+def _stage2_rerank(
+    q_rot, qc, g_add, binary, ex, f_add, f_rescale, f_add_ex, f_rescale_ex,
+    cluster_of, ids, cand_idx, cand_ok,
+    *, top_k, rerank, metric, ex_bits, scan_dtype, refine_ex, clamp_l2,
+):
+    """High-precision re-rank of survivors + final top-k
+    (``ivf.rs:2060-2099``), shared by the dense-XLA and fused-Pallas
+    stage-1 paths.
+
+    Integer codes <= 127 are EXACT in bf16, so bf16 operands with f32
+    accumulation only round the query (2^-9 relative — far below the
+    quantization error and the reference's own i8-LUT stage); it halves
+    the conversion buffer feeding the MXU. The f32 oracle config keeps
+    full f32 operands.
+    """
     op_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
 
     def _dot(codes_gathered, q):
@@ -337,13 +402,7 @@ def scan_kernel(
         pad = top_k - k
         result_ids = jnp.pad(result_ids, ((0, 0), (0, pad)), constant_values=-1)
         result_dist = jnp.pad(result_dist, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    if not with_diagnostics:
-        return result_ids, result_dist
-    probed = jnp.sum(allowed, axis=1, dtype=jnp.int32)  # 1-bit estimates computed
-    survivors = jnp.sum(cand_ok, axis=1, dtype=jnp.int32)  # passed the cut
-    extended = survivors if (ex_bits > 0 and refine_ex) else jnp.zeros_like(survivors)
-    diag = jnp.stack([survivors, probed - survivors, extended], axis=1)
-    return result_ids, result_dist, diag
+    return result_ids, result_dist
 
 
 def make_fused_search(rotate_fn):
@@ -361,6 +420,9 @@ def make_fused_search(rotate_fn):
 
     @functools.partial(jax.jit, static_argnames=_SCAN_STATIC)
     def fused(q, *args, **kwargs):
+        # accept bf16 query uploads (index.upload_dtype): half the bytes
+        # over the host link; all math stays f32 from here on
+        q = q.astype(jnp.float32)
         q_rot = rotate_fn(q) if rotate_fn is not None else q
         return scan_kernel(q_rot, *args, **kwargs)
 

@@ -9,9 +9,11 @@ capacity is bounded by host memory, not the ~16 GB of a chip.
 
 Each chunk runs the full fused scan (stage-1 estimate, survivor cut,
 exact re-rank) and contributes its local top-k; chunk results merge on the
-host. Throughput is then bounded by host->device bandwidth per batch —
-this tier is for batch-heavy offline serving or capacity overflow, not
-latency. For indexes that fit in HBM, use ``IvfRabitqIndex`` directly; for
+host. Uploads are double-buffered: chunk i+1's slab transfers while chunk
+i scans, and per-chunk results are fetched once at the end, so throughput
+approaches max(transfer, compute) per chunk rather than their sum. It is
+still bounded by host->device bandwidth per batch — this tier is for
+batch-heavy offline serving or capacity overflow, not latency. For indexes that fit in HBM, use ``IvfRabitqIndex`` directly; for
 multi-chip capacity, ``parallel.sharding.ShardedIvfIndex``.
 """
 
@@ -37,7 +39,7 @@ class StreamedIvfIndex:
         self.index = index
         # the streamed path scans dense planes; packed bitplanes are not
         # chunked (fall back like the sharded path does)
-        self._scan_dtype = "bf16" if index.scan_dtype == "packed" else index.scan_dtype
+        self._scan_dtype = "bf16" if index.scan_dtype in ("packed", "fused") else index.scan_dtype
         h = index.host  # materializes host planes if the index was device-built
         n = len(index)
         chunk_rows = max(256, (chunk_rows // 128) * 128)
@@ -78,22 +80,34 @@ class StreamedIvfIndex:
         q[:b] = queries
         q_rot = self.index._rotate_jit(jnp.asarray(q))
 
-        all_ids = []
-        all_dists = []
-        for chunk in self._chunks:
+        # Double-buffered pipeline: while chunk i scans, chunk i+1's slab is
+        # already in flight on the transfer queue (device_put is async), and
+        # every per-chunk [B, k] result stays on device until one final
+        # fetch. At most TWO slabs are HBM-resident at once (so the true
+        # working set is 2 * chunk_rows); compute overlaps transfer instead
+        # of serializing upload -> scan -> download per chunk.
+        def _put(chunk):
+            return jax.device_put(chunk)  # pytree of host arrays, async
+
+        pending = []
+        staged = _put(self._chunks[0])
+        for i in range(len(self._chunks)):
+            cur, staged = staged, None
+            if i + 1 < len(self._chunks):
+                staged = _put(self._chunks[i + 1])
             ids_c, dist_c = scan_kernel(
                 q_rot,
                 self._centroids,
-                jnp.asarray(chunk["binary"]),
-                jnp.asarray(chunk["ex"]),
-                jnp.asarray(chunk["f_add"]),
-                jnp.asarray(chunk["f_rescale"]),
-                jnp.asarray(chunk["f_error"]),
-                jnp.asarray(chunk["f_add_ex"]),
-                jnp.asarray(chunk["f_rescale_ex"]),
-                jnp.asarray(chunk["cluster_of"]),
-                jnp.asarray(chunk["valid"]),
-                jnp.asarray(chunk["ids"]),
+                cur["binary"],
+                cur["ex"],
+                cur["f_add"],
+                cur["f_rescale"],
+                cur["f_error"],
+                cur["f_add_ex"],
+                cur["f_rescale_ex"],
+                cur["cluster_of"],
+                cur["valid"],
+                cur["ids"],
                 nprobe=params.nprobe,
                 top_k=params.top_k,
                 rerank=params.resolved_rerank(),
@@ -102,9 +116,12 @@ class StreamedIvfIndex:
                 scan_dtype=self._scan_dtype,
                 approx_topk=self.index.approx_topk,
             )
-            ids_c, dist_c = jax.device_get((ids_c, dist_c))  # one fetch
-            all_ids.append(ids_c[:b])
-            all_dists.append(dist_c[:b])
+            pending.append((ids_c, dist_c))
+            del cur  # release the consumed slab's HBM before staging i+2
+
+        fetched = jax.device_get(pending)  # one blocking fetch for all chunks
+        all_ids = [ids_c[:b] for ids_c, _ in fetched]
+        all_dists = [dist_c[:b] for _, dist_c in fetched]
 
         merged_ids = np.concatenate(all_ids, axis=1)
         merged_d = np.concatenate(all_dists, axis=1)

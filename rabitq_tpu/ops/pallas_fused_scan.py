@@ -1,0 +1,292 @@
+"""Pallas TPU kernel: fully fused stage-1 scan + survivor selection.
+
+The dense XLA scan path materializes several ``[B, N]`` tensors in HBM per
+query batch (the binary-dot accumulator, the gathered per-row g-terms, the
+masked lower bounds, and the bf16 buffer feeding ``approx_max_k``) — at
+GIST scale (B=2048, N=1M) that is tens of GB of HBM traffic per batch and
+is the scan's dominant cost. This kernel keeps the entire stage-1 pipeline
+in VMEM:
+
+* binary codes stream PACKED at 1 bit/dim (``pack_bitplanes``) and unpack
+  in VMEM — 8x less code traffic than the dense int8 plane;
+* the <binary, q> dot runs on the MXU per (query-tile, row-tile) step;
+* the per-(query, cluster) g-terms are expanded to rows *in-kernel*: rows
+  are CLUSTER-SORTED (no device permutation on this path), so each row
+  tile touches a <=128-wide window of clusters; the window's block index
+  is a prefetched scalar (``c_blk``) and the expansion is a one-hot
+  [W, TN] matmul built from an iota-compare — no [B, N] gather exists;
+* probe/filter masking is folded into the VALUES (non-probed clusters and
+  masked rows carry ``BIG``), so pruning needs no separate mask plane;
+* survivor selection happens in-kernel: lower bounds reduce into a
+  per-query bin accumulator ``bins[b, n mod L]`` held in VMEM across the
+  row-tile loop (the moral equivalent of ``approx_max_k``'s stripe-min,
+  but fused — the [B, N] lower-bound plane never exists). Cluster-sorted
+  rows make consecutive candidates land in DISTINCT bins (n mod L is
+  injective on runs shorter than L), so per-element selection recall at
+  L >= 10*rerank is ~1 and the exact stage-2 re-rank absorbs the rest.
+
+This replaces the reference's per-cluster FastScan loop + live top-k heap
+(lqhl/rabitq-rs ``simd.rs:972-1186``, ``ivf.rs:2045-2057``) with a
+single-pass streaming selection sized for the MXU/VPU.
+
+Tile geometry (v5e, ~16 MB VMEM budget):
+  TB=256 queries x TN=512 rows per step, W=256 cluster window,
+  GROUPS=8 -> L=4096 bins: bins (f32+i32) 8 MB, code tile 64 KB,
+  unpacked bits 1 MB, g windows 256 KB — comfortably inside VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_scan import pack_bitplanes, packed_bytes, permute_query
+
+TN = 512  # rows per tile (device layouts for this path pad rows to TN)
+TB = 256  # queries per tile
+W = 256  # cluster window width (two 128-lane blocks)
+GROUPS = 8  # bins = GROUPS * TN
+BIG = 1.0e30  # masked-value sentinel (finite: inf would poison bf16 math)
+
+
+def n_bins() -> int:
+    return GROUPS * TN
+
+
+def tile_cluster_blocks(cluster_of: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Per-row-tile 128-aligned cluster-window block index ``c_blk``.
+
+    Returns [N_tiles] int32 such that every valid row n in tile i has
+    ``0 <= cluster_of[n] - 128 * c_blk[i] < W``. Raises ``ValueError`` if
+    any tile spans more than 128 clusters (degenerate: average cluster
+    smaller than TN/128 rows — callers fall back to the dense path).
+    """
+    n_pad = len(cluster_of)
+    assert n_pad % TN == 0, n_pad
+    cl = np.asarray(cluster_of, np.int64).reshape(-1, TN)
+    ok = np.asarray(valid, bool).reshape(-1, TN)
+    any_valid = ok.any(axis=1)
+    lo = np.where(any_valid, np.min(np.where(ok, cl, np.iinfo(np.int64).max), axis=1), 0)
+    hi = np.where(any_valid, np.max(np.where(ok, cl, -1), axis=1), 0)
+    span = hi - lo
+    if span.max(initial=0) > 128:
+        raise ValueError(
+            f"row tile spans {int(span.max())} clusters (> 128); "
+            "fused scan needs cluster-sorted rows with clusters >= "
+            f"{TN // 128} rows on average"
+        )
+    c_pad = _pad_clusters(int(cl.max(initial=0)) + 1)
+    c_blk = np.minimum(lo // 128, c_pad // 128 - W // 128)
+    return np.maximum(c_blk, 0).astype(np.int32)
+
+
+def _pad_clusters(c: int) -> int:
+    """G-plane cluster padding: at least one full window, 128-aligned."""
+    return max(W, ((c + 127) // 128) * 128)
+
+
+def _kernel(
+    c_blk_ref,  # scalar prefetch: [N_tiles] int32 window block index
+    q_ref,  # [tb, D8] bf16 bit-plane-permuted queries
+    packed_ref,  # [TN, Db] uint8
+    fa_ref,  # [1, TN] f32 f_add (+BIG on masked rows)
+    fr_ref,  # [1, TN] f32 f_rescale
+    fe_ref,  # [1, TN] f32 f_error
+    cl_ref,  # [1, TN] int32 cluster ids
+    k1x_ref,  # [1, tb] f32 c1 * sum(q)
+    g1a_ref,  # [tb, 128] bf16 window halves of (g_add | BIG if unprobed):
+    g1b_ref,  #   block-unit index maps quantize starts to the block width,
+    g2a_ref,  #   so the 128-aligned W=256 window loads as two 128 blocks
+    g2b_ref,  # [tb, 128] bf16 window halves of g_error
+    val_ref,  # out [tb, L] f32 bin minima
+    idx_ref,  # out [tb, L] int32 bin argmin rows
+):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        val_ref[:] = jnp.full_like(val_ref, BIG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    # --- <binary, q> on the MXU over in-VMEM unpacked bit planes ---
+    x = packed_ref[:].astype(jnp.int32)  # [TN, Db]
+    bits = jnp.concatenate(
+        [((x >> k) & 1) for k in range(8)], axis=-1
+    ).astype(jnp.bfloat16)  # [TN, 8*Db] in bit-plane order (matches permute_query)
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        bits,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tb, TN]
+
+    # --- g-term expansion: one-hot window matmul (no [B, N] gather) ---
+    loc = cl_ref[0, :] - c_blk_ref[i] * 128  # [TN] in [0, W) for valid rows
+    slot = jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0)
+    onehot = slot == loc[None, :]
+    sel1 = onehot.astype(jnp.bfloat16)
+    sel2 = jnp.where(onehot, -fe_ref[0, :][None, :], 0.0).astype(jnp.bfloat16)
+    g1 = jnp.concatenate([g1a_ref[:], g1b_ref[:]], axis=1)  # [tb, W]
+    g2 = jnp.concatenate([g2a_ref[:], g2b_ref[:]], axis=1)
+    gterm = jax.lax.dot_general(
+        g1, sel1,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        g2, sel2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tb, TN] = g_add(row) - f_error * g_error(row), BIG where unprobed
+
+    lb = (
+        fa_ref[0, :][None, :]
+        + fr_ref[0, :][None, :] * (acc + k1x_ref[0, :][:, None])
+        + gterm
+    )
+
+    # --- streaming bin-min update: bin(n) = n mod L, rows n = i*TN + t ---
+    tb = lb.shape[0]
+    new_idx = i * TN + jax.lax.broadcasted_iota(jnp.int32, (tb, TN), 1)
+    off = pl.multiple_of(jax.lax.rem(i, GROUPS) * TN, TN)
+    cur = val_ref[:, pl.ds(off, TN)]
+    better = lb < cur
+    val_ref[:, pl.ds(off, TN)] = jnp.where(better, lb, cur)
+    cur_i = idx_ref[:, pl.ds(off, TN)]
+    idx_ref[:, pl.ds(off, TN)] = jnp.where(better, new_idx, cur_i)
+
+
+def fused_bin_scan(
+    packed: jax.Array,  # [Np, Db] uint8, Np % TN == 0, Db % 128 == 0
+    q_perm: jax.Array,  # [Bp, 8*Db] bf16 (permute_query output)
+    fa_eff: jax.Array,  # [Np] f32 f_add with +BIG folded onto masked rows
+    f_rescale: jax.Array,  # [Np] f32
+    f_error: jax.Array,  # [Np] f32
+    cluster_of: jax.Array,  # [Np] int32
+    k1x: jax.Array,  # [Bp] f32
+    g1: jax.Array,  # [Bp, C_pad] bf16: g_add, BIG where cluster unprobed
+    g2: jax.Array,  # [Bp, C_pad] bf16: g_error
+    c_blk: jax.Array,  # [N_tiles] int32 (tile_cluster_blocks)
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (bins_val [Bp, L] f32, bins_idx [Bp, L] int32):
+    ``bins_val[b, l] = min over rows n == l (mod L) of lb[b, n]`` with
+    argmin rows in ``bins_idx`` (-1 where no row beat the BIG sentinel).
+    """
+    n, db = packed.shape
+    bq, d8 = q_perm.shape
+    assert n % TN == 0 and db % 128 == 0 and d8 == 8 * db, (n, db, d8)
+    assert g1.shape[1] % 128 == 0 and g1.shape[1] >= W
+    tb = min(TB, bq)
+    assert bq % tb == 0, (bq, tb)
+    n_tiles = n // TN
+    l_bins = n_bins()
+    grid = (bq // tb, n_tiles)  # row tiles innermost: bins stay VMEM-resident
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, d8), lambda j, i, c: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, db), lambda j, i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda j, i, c: (0, j), memory_space=pltpu.VMEM),
+            # cluster-window half-blocks: the scalar-prefetched c_blk drives
+            # the index maps (128-block units), so only the tile's <=W-wide
+            # window is resident — never the full [B, C] planes
+            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i] + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i] + 1), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, l_bins), lambda j, i, c: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, l_bins), lambda j, i, c: (j, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bq, l_bins), jnp.float32),
+            jax.ShapeDtypeStruct((bq, l_bins), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * n * (d8 + 2 * W),
+            bytes_accessed=(bq // tb) * n * db + bq * d8 * 2 + 2 * bq * l_bins * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        c_blk,
+        q_perm,
+        packed,
+        fa_eff.reshape(1, n),
+        f_rescale.reshape(1, n),
+        f_error.reshape(1, n),
+        cluster_of.reshape(1, n).astype(jnp.int32),
+        k1x.reshape(1, bq),
+        g1,
+        g1,  # same plane, second half-window index map
+        g2,
+        g2,
+    )
+
+
+def fused_select(
+    q_rot: jax.Array,  # [Bp, Dpad] f32 rotated queries
+    packed: jax.Array,
+    fa_eff: jax.Array,
+    f_rescale: jax.Array,
+    f_error: jax.Array,
+    cluster_of: jax.Array,
+    k1x: jax.Array,
+    g_add: jax.Array,  # [Bp, C] f32
+    g_err: jax.Array,  # [Bp, C] f32
+    probe_mask: jax.Array,  # [Bp, C] bool
+    c_blk: jax.Array,
+    rerank: int,
+    padded_dim: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage-1 + survivor selection. Returns (cand_idx [Bp, R] int32,
+    cand_ok [Bp, R] bool) for the shared stage-2 re-rank."""
+    b = q_rot.shape[0]
+    b_pad = ((b + 15) // 16) * 16  # bf16 sublane-aligned query tiles
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0))
+        q_rot = jnp.pad(q_rot, pad)
+        k1x = jnp.pad(k1x, ((0, b_pad - b),))
+        g_add = jnp.pad(g_add, pad)
+        g_err = jnp.pad(g_err, pad)
+        probe_mask = jnp.pad(probe_mask, pad)
+    c = g_add.shape[1]
+    c_pad = _pad_clusters(c)
+    g1 = jnp.where(probe_mask, g_add, BIG)
+    if c_pad != c:
+        g1 = jnp.pad(g1, ((0, 0), (0, c_pad - c)), constant_values=BIG)
+        g_err = jnp.pad(g_err, ((0, 0), (0, c_pad - c)))
+    q_perm = permute_query(q_rot, padded_dim)
+    bins_val, bins_idx = fused_bin_scan(
+        packed,
+        q_perm,
+        fa_eff,
+        f_rescale,
+        f_error,
+        cluster_of,
+        k1x,
+        g1.astype(jnp.bfloat16),
+        jnp.asarray(g_err, jnp.bfloat16),
+        c_blk,
+    )
+    r = min(rerank, n_bins())
+    neg_lb, pos = jax.lax.top_k(-bins_val, r)
+    cand_idx = jnp.take_along_axis(bins_idx, pos, axis=1)
+    cand_ok = (neg_lb > -BIG / 2) & (cand_idx >= 0)
+    return cand_idx[:b], cand_ok[:b]

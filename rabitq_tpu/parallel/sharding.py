@@ -330,7 +330,7 @@ class ShardedIvfIndex:
             metric=self.index.metric,
             ex_bits=self.index.ex_bits,
             # the packed bitplane is not sharded; fall back to the dense path
-            scan_dtype="bf16" if self.index.scan_dtype == "packed" else self.index.scan_dtype,
+            scan_dtype="bf16" if self.index.scan_dtype in ("packed", "fused") else self.index.scan_dtype,
         )
         return jax.device_get((ids, dists))
 
@@ -402,7 +402,7 @@ class ShardedMstgIndex:
             rerank=rerank,
             metric=index.config.metric,
             ex_bits=index.config.rabitq_bits - 1,
-            scan_dtype="bf16" if index.scan_dtype == "packed" else index.scan_dtype,
+            scan_dtype="bf16" if index.scan_dtype in ("packed", "fused") else index.scan_dtype,
             use_prune_epsilon=True,
             refine_ex=index.config.refine_ex,
             clamp_l2=True,

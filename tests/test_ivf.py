@@ -272,6 +272,39 @@ def test_streamed_index_matches_in_memory(rng):
     np.testing.assert_allclose(np.sort(dist_s, 1), np.sort(dist_r, 1), rtol=1e-5)
 
 
+def test_pipelined_search_matches_plain(rng):
+    """The double-buffered serving loop must return exactly the plain
+    path's results (same compiled program, blocks of one fixed shape),
+    including a short tail block."""
+    data = _dataset(rng, 1500, 64)
+    index = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=3, scan_dtype="f32")
+    queries = data[:300]
+    params = SearchParams(top_k=10, nprobe=8)
+    ids_p, dist_p = index.batch_search_arrays_pipelined(queries, params, batch_size=128)
+    ids_r, dist_r = index.batch_search_arrays(queries, params)
+    assert ids_p.shape == ids_r.shape == (300, 10)
+    for i in range(300):
+        assert set(ids_p[i].tolist()) == set(ids_r[i].tolist()), i
+    np.testing.assert_allclose(np.sort(dist_p, 1), np.sort(dist_r, 1), rtol=1e-5)
+
+
+def test_bf16_query_upload_recall(rng):
+    """upload_dtype='bf16' (half the query bytes over the host link) must
+    not perturb results beyond bf16 operand rounding: top-10 overlap with
+    the f32-upload path stays >= 9/10 on average."""
+    data = _dataset(rng, 2000, 64)
+    index = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=3)
+    queries = data[:64]
+    params = SearchParams(top_k=10, nprobe=8)
+    ids_f32, _ = index.batch_search_arrays(queries, params)
+    index.upload_dtype = "bf16"
+    ids_bf, _ = index.batch_search_arrays(queries, params)
+    overlap = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids_f32, ids_bf)]
+    )
+    assert overlap >= 9.0, overlap
+
+
 @pytest.mark.parametrize("total_bits", [12, 16])
 def test_high_bit_widths(total_bits, rng):
     """Reference supports total_bits up to 16 (ivf.rs:967); the int32 ex

@@ -1,0 +1,199 @@
+"""Fused Pallas stage-1 scan + selection (ops/pallas_fused_scan.py).
+
+Runs in interpret mode on the CPU test backend; the kernel's bin semantics
+are exact (bins[b, l] = min over rows n == l (mod L)), so it is verified
+against a dense-math reference, and the end-to-end scan_dtype="fused" path
+is checked against the f32 oracle index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from rabitq_tpu import IvfRabitqIndex, Metric, SearchParams
+from rabitq_tpu.ops.pallas_fused_scan import (
+    BIG,
+    TN,
+    fused_bin_scan,
+    n_bins,
+    tile_cluster_blocks,
+)
+from rabitq_tpu.ops.pallas_scan import pack_bitplanes, packed_bytes, permute_query
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def test_bins_match_dense_reference(rng):
+    """bins_val[b, l] must equal the modulo-L column minimum of the dense
+    lower-bound matrix, with matching argmin rows."""
+    n, d, c, b = 4 * TN, 128, 24, 32
+    l_bins = n_bins()
+
+    binary = rng.integers(0, 2, (n, d)).astype(np.int8)
+    f_add = rng.normal(size=n).astype(np.float32)
+    f_rescale = rng.normal(size=n).astype(np.float32)
+    f_error = np.abs(rng.normal(size=n)).astype(np.float32)
+    # cluster-sorted ids over a contiguous range per tile
+    cluster_of = np.sort(rng.integers(0, c, n)).astype(np.int32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    k1x = (-0.5 * q.sum(axis=1)).astype(np.float32)
+    g_add = rng.normal(size=(b, c)).astype(np.float32)
+    g_err = np.abs(rng.normal(size=(b, c))).astype(np.float32)
+    probe = rng.random((b, c)) < 0.5
+
+    valid = np.ones(n, bool)
+    c_blk = tile_cluster_blocks(cluster_of, valid)
+
+    c_pad = max(256, ((c + 127) // 128) * 128)
+    g1 = np.full((b, c_pad), BIG, np.float32)
+    g1[:, :c] = np.where(probe, g_add, BIG)
+    g2 = np.zeros((b, c_pad), np.float32)
+    g2[:, :c] = g_err
+
+    packed = pack_bitplanes(jnp.asarray(binary), d)
+    q_perm = permute_query(jnp.asarray(q), d)
+    vals, idxs = fused_bin_scan(
+        packed,
+        q_perm,
+        jnp.asarray(f_add),
+        jnp.asarray(f_rescale),
+        jnp.asarray(f_error),
+        jnp.asarray(cluster_of),
+        jnp.asarray(k1x),
+        jnp.asarray(g1, jnp.bfloat16),
+        jnp.asarray(g2, jnp.bfloat16),
+        jnp.asarray(c_blk),
+    )
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+
+    # dense reference with the SAME precision choices (bf16 g-planes)
+    g1_bf = g1.astype(jnp.bfloat16).astype(np.float32)
+    g2_bf = g2.astype(jnp.bfloat16).astype(np.float32)
+    bdot = q @ binary.astype(np.float32).T  # [B, N]
+    gterm = g1_bf[:, cluster_of] - f_error[None, :] * g2_bf[:, cluster_of]
+    lb = f_add[None, :] + f_rescale[None, :] * (bdot + k1x[:, None]) + gterm
+
+    folded = lb.reshape(b, n // l_bins, l_bins) if n % l_bins == 0 else None
+    if folded is None:
+        pad = (-n) % l_bins
+        lb_p = np.pad(lb, ((0, 0), (0, pad)), constant_values=BIG)
+        folded = lb_p.reshape(b, -1, l_bins)
+    ref_vals = folded.min(axis=1)
+    # kernel computes the dot in bf16 operands with f32 accumulation while
+    # the reference dot is f32: near-tied rows can swap the bin argmin,
+    # shifting the bin value by up to one bf16 rounding gap (~0.1 here)
+    np.testing.assert_allclose(
+        np.where(ref_vals > BIG / 2, 0, ref_vals),
+        np.where(vals > BIG / 2, 0, vals),
+        rtol=2e-2,
+        atol=0.2,
+    )
+    # argmin row agreement wherever the min is unambiguous (ties/rounding
+    # can legitimately differ): check 95%+ agreement
+    ref_idx = folded.argmin(axis=1) * l_bins + np.arange(l_bins)[None, :]
+    ref_idx = np.where(ref_vals > BIG / 2, -1, ref_idx)
+    agree = np.mean((idxs == ref_idx) | (ref_idx == -1))
+    assert agree > 0.95, agree
+
+
+def test_tile_cluster_blocks_span_check():
+    n = 2 * TN
+    cluster_of = np.arange(n) // 2  # 2-row clusters: span TN/2 > 128
+    with pytest.raises(ValueError):
+        tile_cluster_blocks(cluster_of, np.ones(n, bool))
+
+
+def test_fused_ivf_matches_f32_oracle(rng):
+    """End-to-end scan_dtype='fused' search equals the exact f32 path
+    (same index, same params) within re-rank rounding."""
+    n, dim = 3000, 96
+    centers = rng.normal(size=(12, dim)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 12, n)]
+        + 0.3 * rng.normal(size=(n, dim)).astype(np.float32)
+    ).astype(np.float32)
+    index = IvfRabitqIndex.train(
+        data, nlist=12, total_bits=7, metric=Metric.L2, seed=5, scan_dtype="f32"
+    )
+    queries = data[:32]
+    params = SearchParams(top_k=10, nprobe=12, rerank=256)
+    ids_f32, dist_f32 = index.batch_search_arrays(queries, params)
+
+    index.scan_dtype = "fused"  # triggers cluster-sorted re-materialization
+    ids_fused, dist_fused = index.batch_search_arrays(queries, params)
+
+    overlap = np.mean(
+        [
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(ids_f32, ids_fused)
+        ]
+    )
+    assert overlap >= 0.95, overlap
+    # for ids both paths returned, the re-ranked distances must agree
+    # (same stage-2 estimator; fused uses bf16 operands, so the absolute
+    # error floor is ~2^-9 * dot magnitude — visible on near-zero
+    # self-distances)
+    for row in range(len(queries)):
+        ref = dict(zip(ids_f32[row].tolist(), dist_f32[row].tolist()))
+        for i, dv in zip(ids_fused[row].tolist(), dist_fused[row].tolist()):
+            if i in ref:
+                np.testing.assert_allclose(dv, ref[i], rtol=5e-2, atol=0.15)
+
+
+def test_fused_filtered_and_ip(rng):
+    """Filter masks fold into f_add; InnerProduct g-terms flow through."""
+    n, dim = 2000, 64
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    index = IvfRabitqIndex.train(
+        data, nlist=8, total_bits=7, metric=Metric.InnerProduct, seed=2,
+        scan_dtype="fused",
+    )
+    params = SearchParams(top_k=5, nprobe=8)
+    allowed = np.arange(100, 200)
+    ids, _ = index.batch_search_arrays(data[:4], params, filter_ids=allowed)
+    found = set(ids.ravel().tolist()) - {-1}
+    assert found and found <= set(allowed.tolist())
+
+
+def test_fused_mstg_matches_bf16(rng):
+    """MSTG with scan_dtype='fused' (cluster-sorted posting rows, dynamic
+    ef/epsilon pruning folded into the probe mask) matches the dense path."""
+    from rabitq_tpu import MstgConfig, MstgIndex, MstgSearchParams
+
+    n, dim = 2500, 64
+    centers = rng.normal(size=(10, dim)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 10, n)]
+        + 0.25 * rng.normal(size=(n, dim)).astype(np.float32)
+    ).astype(np.float32)
+    cfg = MstgConfig(max_posting_size=400, faster_config=True)
+    index = MstgIndex.build(data, cfg, seed=4)
+    params = MstgSearchParams(top_k=10, ef_search=8, pruning_epsilon=0.6)
+    ref = index.batch_search(data[:16], params)
+
+    index.scan_dtype = "fused"
+    got = index.batch_search(data[:16], params)
+    overlap = np.mean(
+        [
+            len({h.id for h in a} & {h.id for h in b}) / max(len(a), 1)
+            for a, b in zip(ref, got)
+        ]
+    )
+    assert overlap >= 0.9, overlap
+
+
+def test_fused_diagnostics_falls_back(rng):
+    """search_with_diagnostics works on a fused index (dense fallback)."""
+    data = rng.normal(size=(1500, 64)).astype(np.float32)
+    index = IvfRabitqIndex.train(data, nlist=6, total_bits=7, seed=9,
+                                 scan_dtype="fused")
+    res, diag = index.search_with_diagnostics(
+        data[0], SearchParams(top_k=10, nprobe=3)
+    )
+    assert res and res[0].id == 0
+    assert diag.estimated > 0
