@@ -86,6 +86,12 @@ def main():
     ap.add_argument("--target-recall", type=float, default=0.95)
     ap.add_argument("--mstg", action="store_true", help="also benchmark an MSTG operating point")
     ap.add_argument("--small", action="store_true", help="tiny smoke-test config")
+    ap.add_argument("--scan-dtype", default="fused",
+                    choices=["f32", "bf16", "int8", "packed", "fused"])
+    ap.add_argument("--pipeline-block", type=int, default=512)
+    ap.add_argument("--compare-dtypes", action="store_true",
+                    help="also measure bf16/packed at the operating point "
+                    "(costs a device-layout rebuild each)")
     args = ap.parse_args()
     if args.small:
         args.rows, args.queries, args.nlist, args.dim = 20_000, 128, 128, 128
@@ -116,7 +122,7 @@ def main():
         np.save(cache_path, gt)
         log(f"groundtruth: {time.time()-t0:.1f}s")
 
-    log("building index ...")
+    log(f"building index (scan_dtype={args.scan_dtype}) ...")
     t0 = time.time()
     index = IvfRabitqIndex.train(
         data,
@@ -126,32 +132,36 @@ def main():
         rotator_type=RotatorType.FhtKacRotator,
         seed=42,
         use_faster_config=True,
+        scan_dtype=args.scan_dtype,
     )
     index.device  # materialize HBM arrays
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s")
 
-    # --- nprobe sweep at fixed batch size (one compile: nprobe is traced) ---
+    # Serving configuration: pipelined fixed-size blocks (upload of block
+    # i+1 overlaps block i's scan) with bf16 query uploads — the measured
+    # QPS includes host->device query transfer, overlapped as a real
+    # serving loop would.
+    index.upload_dtype = "bf16"
+    block = min(args.pipeline_block, args.batch)
+
+    def run_all(params):
+        return index.batch_search_arrays_pipelined(queries, params, batch_size=block)
+
+    # --- nprobe sweep (one compile: nprobe is traced) ---
     nprobe_grid = [4, 8, 16, 32, 64, 128, 256, 512, 1024]
     nprobe_grid = [p for p in nprobe_grid if p <= args.nlist]
     chosen = None
     qps_at = {}
+    reps = 3
     for nprobe in nprobe_grid:
         params = SearchParams(top_k=args.top_k, nprobe=nprobe)
-        all_ids = []
-        # warm-up on the first call compiles the scan
-        for s in range(0, args.queries, args.batch):
-            ids, _ = index.batch_search_arrays(queries[s : s + args.batch], params)
-            all_ids.append(ids)
-        rec = recall_at_k(np.concatenate(all_ids), gt)
-        # timed pass
+        ids, _ = run_all(params)  # warm-up on first call compiles the scan
+        rec = recall_at_k(ids, gt)
         t0 = time.time()
-        reps = 3
         for _ in range(reps):
-            for s in range(0, args.queries, args.batch):
-                index.batch_search_arrays(queries[s : s + args.batch], params)
-        dt = (time.time() - t0) / reps
-        qps = args.queries / dt
+            run_all(params)
+        qps = args.queries / ((time.time() - t0) / reps)
         qps_at[nprobe] = (rec, qps)
         log(f"nprobe={nprobe:5d} recall@{args.top_k}={rec:.4f} QPS={qps:.1f}")
         if rec >= args.target_recall:
@@ -163,49 +173,48 @@ def main():
         chosen = nprobe_grid[-1]
     rec, qps = qps_at[chosen]
     params = SearchParams(top_k=args.top_k, nprobe=chosen)
+    dtype_qps = {args.scan_dtype: qps}
 
-    # --- scan-dtype comparison at the operating point (fused Pallas
-    # scan+select vs packed Pallas vs dense bf16) — fastest is the headline
-    dtype_qps = {"bf16": qps}
-    for dt in ("packed", "fused"):
-        try:
-            index.scan_dtype = dt
-            all_ids = []
-            for s in range(0, args.queries, args.batch):  # warm-up + recall
-                ids, _ = index.batch_search_arrays(queries[s : s + args.batch], params)
-                all_ids.append(ids)
-            rec_dt = recall_at_k(np.concatenate(all_ids), gt)
-            t0 = time.time()
-            reps = 3
-            for _ in range(reps):
-                for s in range(0, args.queries, args.batch):
-                    index.batch_search_arrays(queries[s : s + args.batch], params)
-            dtype_qps[dt] = args.queries / ((time.time() - t0) / reps)
-            log(f"scan_dtype={dt}: recall={rec_dt:.4f} QPS={dtype_qps[dt]:.1f}")
-            if rec_dt < args.target_recall - 0.005:
-                log(f"scan_dtype={dt} missed recall target; not eligible")
+    if args.compare_dtypes:
+        # alternates at the operating point (each switch re-materializes
+        # the device layout when the row order differs)
+        for dt in ("bf16", "packed"):
+            if dt == args.scan_dtype:
+                continue
+            try:
+                index.scan_dtype = dt
+                ids, _ = run_all(params)  # warm-up + recall
+                rec_dt = recall_at_k(ids, gt)
+                t0 = time.time()
+                for _ in range(reps):
+                    run_all(params)
+                dtype_qps[dt] = args.queries / ((time.time() - t0) / reps)
+                log(f"scan_dtype={dt}: recall={rec_dt:.4f} QPS={dtype_qps[dt]:.1f}")
+                if rec_dt < args.target_recall - 0.005:
+                    log(f"scan_dtype={dt} missed recall target; not eligible")
+                    dtype_qps[dt] = -1.0
+            except Exception as e:  # pallas kernels are optional hardware-wise
+                log(f"scan_dtype={dt} failed: {type(e).__name__}: {e}")
                 dtype_qps[dt] = -1.0
-        except Exception as e:  # packed kernel is optional hardware-wise
-            log(f"scan_dtype={dt} failed: {type(e).__name__}: {e}")
-            dtype_qps[dt] = -1.0
-    best_dtype = max(dtype_qps, key=dtype_qps.get)
-    index.scan_dtype = best_dtype
-    qps = dtype_qps[best_dtype]
+        index.scan_dtype = args.scan_dtype
 
-    # single-query latency at the chosen operating point
+    # single-query latency at the chosen operating point (f32 upload: a
+    # single query's 4 KB transfer is dispatch-dominated either way)
     index.batch_search_arrays(queries[:1], params)  # compile B=1
     t0 = time.time()
     for i in range(32):
         index.batch_search_arrays(queries[i : i + 1], params)
     lat_ms = (time.time() - t0) / 32 * 1000
-    log(f"single-query latency at nprobe={chosen} ({best_dtype}): {lat_ms:.2f} ms")
+    log(f"single-query latency at nprobe={chosen} ({args.scan_dtype}): {lat_ms:.2f} ms")
 
+    best_dtype = args.scan_dtype
     extra = {
         "build_seconds": round(build_s, 1),
         "single_query_ms": round(lat_ms, 2),
         "recall": round(rec, 4),
         "nprobe": chosen,
         "scan_dtype": best_dtype,
+        "upload": "bf16-pipelined",
         "dtype_qps": {k: round(v, 1) for k, v in dtype_qps.items()},
     }
 

@@ -218,6 +218,7 @@ def cmd_sweep(args):
         index = IvfRabitqIndex.train(
             data, nlist=args.nlist, total_bits=args.total_bits,
             metric=Metric.L2, seed=args.seed, use_faster_config=True,
+            scan_dtype=args.scan_dtype,
         )
         for nprobe in args.nprobes:
             params = SearchParams(top_k=k, nprobe=nprobe)
@@ -236,6 +237,7 @@ def cmd_sweep(args):
             faster_config=True,
         )
         index = MstgIndex.build(data, cfg, seed=args.seed)
+        index.scan_dtype = args.scan_dtype
         for ef in args.efs:
             for eps in args.epsilons:
                 params = MstgSearchParams(ef_search=ef, pruning_epsilon=eps, top_k=k)
@@ -312,6 +314,8 @@ def main(argv=None):
     s.add_argument("--branching-factor", type=int, default=10)
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--query-limit", type=int, default=None)
+    s.add_argument("--scan-dtype", default="bf16",
+                   choices=["f32", "bf16", "int8", "packed", "fused"])
     s.set_defaults(func=cmd_sweep)
 
     args = ap.parse_args(argv)

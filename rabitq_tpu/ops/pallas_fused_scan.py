@@ -38,6 +38,7 @@ Tile geometry (v5e, ~16 MB VMEM budget):
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -48,9 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_scan import pack_bitplanes, packed_bytes, permute_query
 
 TN = 512  # rows per tile (device layouts for this path pad rows to TN)
-TB = 256  # queries per tile
+# Queries per tile x bin groups: bins VMEM = TB * GROUPS * TN * 8 bytes.
+# More bins (L = GROUPS * TN) means fewer survivor collisions when many
+# rows are probed; fewer queries per tile means more passes over the code
+# plane. (128, 16) -> L=8192, 8 MB bins: selection loss is negligible up
+# to ~30K probed rows per query. Env-tunable for experiments.
+TB = int(os.environ.get("RABITQ_FUSED_TB", "128"))
+GROUPS = int(os.environ.get("RABITQ_FUSED_GROUPS", "16"))
 W = 256  # cluster window width (two 128-lane blocks)
-GROUPS = 8  # bins = GROUPS * TN
 BIG = 1.0e30  # masked-value sentinel (finite: inf would poison bf16 math)
 
 
