@@ -31,12 +31,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_dataset(n, dim, n_centers, rng):
+def make_dataset(n, dim, n_centers, rng, centers=None):
     """Clustered Gaussian data (GIST-like structure, not uniform noise)."""
-    centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
-    assign = rng.integers(0, n_centers, n)
+    if centers is None:
+        centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
+    assign = rng.integers(0, centers.shape[0], n)
     data = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
     return data.astype(np.float32)
+
+
+def make_workload(rows, n_queries, dim, n_centers, rng):
+    """(data, queries) with queries drawn IN-DISTRIBUTION (same center
+    mixture as the data), like real GIST query sets.
+
+    Early rounds drew queries from 8 fresh centers — out-of-distribution
+    in high dim, which scatters a query's true neighbors across many
+    clusters/posting lists and understates every cluster-routed method
+    (MSTG recall degenerates to ~the probed-list fraction; IVF loses
+    several recall points). Measured in BENCHMARKS.md.
+    """
+    centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
+    data = make_dataset(rows, dim, n_centers, rng, centers=centers)
+    queries = make_dataset(n_queries, dim, n_centers, rng, centers=centers)
+    return data, queries
 
 
 def exact_groundtruth(data, queries, k, block=50_000):
@@ -104,12 +121,13 @@ def main():
 
     rng = np.random.default_rng(7)
     log(f"generating {args.rows}x{args.dim} dataset ...")
-    data = make_dataset(args.rows, args.dim, max(args.nlist // 2, 8), rng)
-    queries = make_dataset(args.queries, args.dim, 8, rng)
+    data, queries = make_workload(
+        args.rows, args.queries, args.dim, max(args.nlist // 2, 8), rng
+    )
 
     # groundtruth is deterministic given the config; cache it across runs
     cache_key = hashlib.sha1(
-        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v1".encode()
+        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v2".encode()
     ).hexdigest()[:16]
     cache_path = f"/tmp/rabitq_bench_gt_{cache_key}.npy"
     if os.path.exists(cache_path):

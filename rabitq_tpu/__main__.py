@@ -215,13 +215,17 @@ def cmd_sweep(args):
         return out, dt
 
     if args.method in ("ivf", "both"):
-        index = IvfRabitqIndex.train(
-            data, nlist=args.nlist, total_bits=args.total_bits,
-            metric=Metric.L2, seed=args.seed, use_faster_config=True,
-            scan_dtype=args.scan_dtype,
-        )
+        if args.index:
+            index = IvfRabitqIndex.load_from_path(args.index, scan_dtype=args.scan_dtype)
+            log(f"loaded index {args.index}")
+        else:
+            index = IvfRabitqIndex.train(
+                data, nlist=args.nlist, total_bits=args.total_bits,
+                metric=Metric.L2, seed=args.seed, use_faster_config=True,
+                scan_dtype=args.scan_dtype,
+            )
         for nprobe in args.nprobes:
-            params = SearchParams(top_k=k, nprobe=nprobe)
+            params = SearchParams(top_k=k, nprobe=nprobe, rerank=args.rerank)
             results, dt = timed(lambda: index.batch_search(queries, params))
             rec = _recall(results, gt, k)
             qps = len(queries) / dt
@@ -240,7 +244,9 @@ def cmd_sweep(args):
         index.scan_dtype = args.scan_dtype
         for ef in args.efs:
             for eps in args.epsilons:
-                params = MstgSearchParams(ef_search=ef, pruning_epsilon=eps, top_k=k)
+                params = MstgSearchParams(
+                    ef_search=ef, pruning_epsilon=eps, top_k=k, rerank=args.rerank
+                )
                 results, dt = timed(lambda: index.batch_search(queries, params))
                 rec = _recall(results, gt, k)
                 qps = len(queries) / dt
@@ -316,6 +322,12 @@ def main(argv=None):
     s.add_argument("--query-limit", type=int, default=None)
     s.add_argument("--scan-dtype", default="bf16",
                    choices=["f32", "bf16", "int8", "packed", "fused"])
+    s.add_argument("--rerank", type=int, default=None,
+                   help="survivor re-rank budget (default: max(4k, 400); "
+                   "raise to ~40x k for high-recall k=100 sweeps)")
+    s.add_argument("--index", default=None,
+                   help="reuse a saved IVF index instead of building "
+                   "(ivf method only)")
     s.set_defaults(func=cmd_sweep)
 
     args = ap.parse_args(argv)

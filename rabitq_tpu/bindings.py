@@ -194,6 +194,7 @@ class IvfRabitqIndex:
         rotator_type: str = "random",
         seed: int = 42,
         faster_config: bool = True,
+        scan_dtype: str = "bf16",  # TPU extension: "fused" = Pallas scan+select
     ) -> None:
         data = self._check_2d(data)
         self.index = _NativeIvf.train(
@@ -204,6 +205,7 @@ class IvfRabitqIndex:
             _parse_rotator(rotator_type),
             seed,
             faster_config,
+            scan_dtype=scan_dtype,
         )
 
     def fit_with_clusters(

@@ -18,11 +18,16 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import time
+
 import numpy as np
 
 import jax.numpy as jnp
 
 from ...ops.kmeans import run_kmeans
+from ...utils.logging import get_logger
+
+_log = get_logger("mstg.clustering")
 
 
 @dataclass
@@ -60,9 +65,22 @@ def hierarchical_cluster(
         split_round += 1
         sub = data[idx]
         k = min(branching_factor, sub.shape[0])
-        sub_dev = jnp.take(data_dev, jnp.asarray(idx), axis=0)
+        # pow2-bucketed gather + n_valid masking: behind a remote-compile
+        # tunnel each distinct shape costs a fresh compile, and the split
+        # recursion produces hundreds of distinct cluster sizes
+        m = idx.shape[0]
+        m_pad = 1 << max(8, (m - 1).bit_length())
+        idx_pad = np.zeros(m_pad, np.int64)
+        idx_pad[:m] = idx
+        t0 = time.perf_counter()
+        sub_dev = jnp.take(data_dev, jnp.asarray(idx_pad), axis=0)
         km = run_kmeans(
-            sub, k, niter=kmeans_iters, seed=seed + split_round, data_dev=sub_dev
+            sub, k, niter=kmeans_iters, seed=seed + split_round,
+            data_dev=sub_dev, n_valid=m,
+        )
+        _log.debug(
+            "split %d: %d rows -> %d children (%.2fs)",
+            split_round, m, k, time.perf_counter() - t0,
         )
         groups = [idx[km.assignments == c] for c in range(k)]
         if balance_weight > 0.0:

@@ -120,22 +120,28 @@ class MstgIndex:
             rotator = make_rotator(orig_dim, RotatorType.FhtKacRotator, seed)
         dim = rotator.padded_dim if rotator is not None else orig_dim
 
+        from ...utils.logging import get_logger, timed
+
+        _log = get_logger("mstg")
+
         # Step 1: hierarchical balanced clustering
-        clusters = hierarchical_cluster(
-            data,
-            max_cluster_size=config.max_posting_size,
-            branching_factor=config.branching_factor,
-            balance_weight=config.balance_weight,
-            seed=seed,
-            data_dev=data_dev,
-        )
+        with timed(f"hierarchical clustering n={n}", _log):
+            clusters = hierarchical_cluster(
+                data,
+                max_cluster_size=config.max_posting_size,
+                branching_factor=config.branching_factor,
+                balance_weight=config.balance_weight,
+                seed=seed,
+                data_dev=data_dev,
+            )
         centroids = clusters.centroids
 
         # Step 2: closure assignment with the RNG rule
-        members = closure_assign(
-            data, centroids, config.closure_epsilon, config.max_replicas,
-            data_dev=data_dev,
-        )
+        with timed(f"closure assignment C={len(centroids)}", _log):
+            members = closure_assign(
+                data, centroids, config.closure_epsilon, config.max_replicas,
+                data_dev=data_dev,
+            )
 
         raw_centroids = centroids  # unrotated copy for the exact t sweep
         if rotator is not None:
@@ -167,18 +173,19 @@ class MstgIndex:
             t_rows = exact_t_rows(
                 data, raw_centroids, row_list, ids, rotator, ex_bits
             )
-        codes = build_codes(
-            data_dev,
-            centroids,
-            row_list,
-            rotator=rotator,  # None: reference parity (original space)
-            ex_bits=ex_bits,
-            metric=config.metric,
-            use_t_const=config.faster_config,
-            t_const=t_const,
-            t_rows=t_rows,
-            order=ids,  # closure-replicated rows gathered on device
-        )
+        with timed(f"quantize rows={total_rows}", _log):
+            codes = build_codes(
+                data_dev,
+                centroids,
+                row_list,
+                rotator=rotator,  # None: reference parity (original space)
+                ex_bits=ex_bits,
+                metric=config.metric,
+                use_t_const=config.faster_config,
+                t_const=t_const,
+                t_rows=t_rows,
+                order=ids,  # closure-replicated rows gathered on device
+            )
         host = MstgHost(
             binary_bits=codes["binary"],
             ex_codes=codes["ex"],

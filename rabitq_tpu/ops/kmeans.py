@@ -42,8 +42,21 @@ class KMeansResult:
 
 
 def _block_size(k: int) -> int:
-    # Keep the [block, k] distance tile around <=64 MB.
-    return int(max(256, min(32768, (1 << 24) // max(k, 1))))
+    # Keep the [block, k] distance tile around <=64 MB. Power of two so
+    # pow2-padded row counts always tile evenly (bounded compile count).
+    raw = int(max(256, min(32768, (1 << 24) // max(k, 1))))
+    return 1 << (raw.bit_length() - 1)
+
+
+def _pad_pow2(n: int, floor: int = 256) -> int:
+    """Round up to a power of two (>= floor). Shape bucketing: behind a
+    remote-compile tunnel every distinct array shape costs a 10-120 s
+    compile, and hierarchical-clustering splits produce hundreds of
+    distinct sizes — pow2 buckets bound that to ~log2(N) programs."""
+    p = floor
+    while p < n:
+        p *= 2
+    return p
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -167,18 +180,23 @@ def run_kmeans(
     spherical: bool = False,
     max_points_per_centroid: int = DEFAULT_MAX_POINTS_PER_CENTROID,
     data_dev: jax.Array | None = None,
+    n_valid: int | None = None,
 ) -> KMeansResult:
     """Run k-means. ``data`` [N, D] float32 (host).
 
     Pass ``data_dev`` (the same rows already on device) to avoid
     re-uploading the dataset — transfers dominate build time behind a slow
-    device tunnel. Deterministic for a given seed (matches the property
-    asserted by ``kmeans.rs:757-780``).
+    device tunnel. Rows >= ``n_valid`` of ``data_dev`` are padding: they
+    are never sampled for training and are dropped from the returned
+    assignments (callers pad to pow2 buckets so repeated variable-size
+    k-means runs reuse compiled programs). Deterministic for a given seed
+    (matches the property asserted by ``kmeans.rs:757-780``).
     """
     if data_dev is None:
         data = np.ascontiguousarray(data, dtype=np.float32)
         data_dev = jnp.asarray(data)
-    n, dim = data_dev.shape
+    n_rows, dim = data_dev.shape
+    n = n_rows if n_valid is None else n_valid
     assert 0 < k <= n, "k must be in (0, len(data)]"
     assert niter > 0
 
@@ -186,8 +204,8 @@ def run_kmeans(
     # --- training subset (kmeans.rs:210-226) ---
     target = max(min(n, k * max_points_per_centroid), k)
     # don't pad tiny inputs up to the full tile budget (hierarchical MSTG
-    # splits run many small k-means)
-    block = min(_block_size(k), ((target + 255) // 256) * 256)
+    # splits run many small k-means); pow2 buckets bound compile count
+    block = min(_block_size(k), _pad_pow2(target))
     if target < n:
         idx = rng.permutation(n)[:target]
         idx.sort()
@@ -199,11 +217,13 @@ def run_kmeans(
     else:
         nt = n
         nt_pad = ((nt + block - 1) // block) * block
-        if nt_pad == n:
+        if nt_pad == n_rows:
             train_dev = data_dev
+        elif nt_pad < n_rows:
+            train_dev = jax.lax.slice_in_dim(data_dev, 0, nt_pad, axis=0)
         else:
             train_dev = jnp.concatenate(
-                [data_dev, jnp.zeros((nt_pad - n, dim), jnp.float32)]
+                [data_dev, jnp.zeros((nt_pad - n_rows, dim), jnp.float32)]
             )
 
     best: KMeansResult | None = None
@@ -239,8 +259,10 @@ def assign_dataset(
         n_valid = n
     k = centroids.shape[0]
     if block is None:
-        block = min(_block_size(k), ((n + 255) // 256) * 256)
-    n_pad = ((n + block - 1) // block) * block
+        block = min(_block_size(k), _pad_pow2(n))
+    # pow2 row bucket: variable-size callers (hierarchical splits) hit a
+    # bounded set of compiled programs instead of one per distinct size
+    n_pad = max(_pad_pow2(n), block)
     if isinstance(data, jax.Array):
         data_dev = (
             data

@@ -86,6 +86,8 @@ def sharded_scan(
     row_allowed: jax.Array,
     ids: jax.Array,
     prune_epsilon: jax.Array | float = 0.0,
+    packed: jax.Array | None = None,  # [Np, Db] row-sharded (fused path)
+    fused_cblk: jax.Array | None = None,  # [N_tiles] tile-sharded (fused path)
     *,
     mesh: Mesh,
     top_k: int,
@@ -111,8 +113,10 @@ def sharded_scan(
     local_k = top_k
     row_spec = P(SHARD_AXIS)
     row_spec2 = P(SHARD_AXIS, None)
+    fused = scan_dtype == "fused"
 
-    def per_device(q, cents, b, e, fa, fr, fe, fae, fre, cof, allow, idv, peps):
+    def per_device(q, cents, b, e, fa, fr, fe, fae, fre, cof, allow, idv, peps,
+                   *fused_args):
         loc_ids, loc_dist = scan_kernel(
             q,
             cents,
@@ -127,6 +131,8 @@ def sharded_scan(
             allow,
             idv,
             prune_epsilon=peps,
+            packed=fused_args[0] if fused else None,
+            fused_cblk=fused_args[1] if fused else None,
             top_k=local_k,
             nprobe=nprobe,
             rerank=rerank,
@@ -145,27 +151,22 @@ def sharded_scan(
         neg, pos = jax.lax.top_k(-all_dist, top_k)
         return jnp.take_along_axis(all_ids, pos, axis=1), -neg
 
-    return jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(
-            P(),  # queries replicated
-            P(),  # centroids replicated
-            row_spec2,  # binary
-            row_spec2,  # ex
-            row_spec,
-            row_spec,
-            row_spec,
-            row_spec,
-            row_spec,
-            row_spec,  # cluster_of
-            row_spec,  # row_allowed
-            row_spec,  # ids
-            P(),  # prune_epsilon (replicated traced scalar)
-        ),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )(
+    in_specs = [
+        P(),  # queries replicated
+        P(),  # centroids replicated
+        row_spec2,  # binary
+        row_spec2,  # ex
+        row_spec,
+        row_spec,
+        row_spec,
+        row_spec,
+        row_spec,
+        row_spec,  # cluster_of
+        row_spec,  # row_allowed
+        row_spec,  # ids
+        P(),  # prune_epsilon (replicated traced scalar)
+    ]
+    args = [
         q_rot,
         centroids,
         binary,
@@ -179,7 +180,20 @@ def sharded_scan(
         row_allowed,
         ids,
         jnp.float32(prune_epsilon),
-    )
+    ]
+    if fused:
+        # packed bitplanes shard with the rows; c_blk shards with the row
+        # tiles (both leading axes are row-aligned: rows per shard is a
+        # multiple of the kernel's TN)
+        in_specs += [row_spec2, row_spec]
+        args += [packed, fused_cblk]
+    return jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(*args)
 
 
 class ShardedIvfIndex:
@@ -283,8 +297,15 @@ class ShardedIvfIndex:
         dev = index.device
         n_dev = self.mesh.shape[SHARD_AXIS]
         rows = int(dev.binary.shape[0])
-        # pad rows to a multiple of the mesh size
-        pad_to = ((rows + n_dev - 1) // n_dev) * n_dev
+        self._fused = index.scan_dtype == "fused"
+        # pad rows to a multiple of the mesh size (fused: each shard must
+        # also be a whole number of TN-row kernel tiles)
+        unit = n_dev
+        if self._fused:
+            from ..ops.pallas_fused_scan import TN
+
+            unit = n_dev * TN
+        pad_to = ((rows + unit - 1) // unit) * unit
 
         def padded(x):
             x = np.asarray(x)
@@ -297,19 +318,32 @@ class ShardedIvfIndex:
         ids_np = np.asarray(dev.ids)
         ids_pad = np.full(pad_to, -1, np.int32)
         ids_pad[:rows] = ids_np
+        binary_pad = padded(dev.binary)
+        valid_pad = padded(dev.valid)
+        cluster_pad = padded(dev.cluster_of)
         self._rows = shard_rows(
             self.mesh,
-            padded(dev.binary),
+            binary_pad,
             padded(dev.ex),
             padded(dev.f_add),
             padded(dev.f_rescale),
             padded(dev.f_error),
             padded(dev.f_add_ex),
             padded(dev.f_rescale_ex),
-            padded(dev.cluster_of),
-            padded(dev.valid),
+            cluster_pad,
+            valid_pad,
             ids_pad,
         )
+        self._packed = self._cblk = None
+        if self._fused:
+            from ..ops.pallas_fused_scan import tile_cluster_blocks
+            from ..ops.pallas_scan import pack_bitplanes
+
+            packed = np.asarray(
+                pack_bitplanes(jnp.asarray(binary_pad), index.padded_dim)
+            )
+            cblk = tile_cluster_blocks(cluster_pad, valid_pad)
+            (self._packed, self._cblk) = shard_rows(self.mesh, packed, cblk)
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
 
     def batch_search_arrays(self, queries, params):
@@ -323,14 +357,17 @@ class ShardedIvfIndex:
             q_rep,
             self._centroids,
             *self._rows,
+            packed=self._packed,
+            fused_cblk=self._cblk,
             mesh=self.mesh,
             top_k=params.top_k,
             nprobe=params.nprobe,
             rerank=params.resolved_rerank(),
             metric=self.index.metric,
             ex_bits=self.index.ex_bits,
-            # the packed bitplane is not sharded; fall back to the dense path
-            scan_dtype="bf16" if self.index.scan_dtype in ("packed", "fused") else self.index.scan_dtype,
+            # the packed bitplane kernel is not sharded (fall back to dense);
+            # the fused kernel IS — each shard scans its own tile-aligned slice
+            scan_dtype="bf16" if self.index.scan_dtype == "packed" else self.index.scan_dtype,
         )
         return jax.device_get((ids, dists))
 

@@ -101,3 +101,29 @@ def test_sharded_mstg_matches_single_chip():
     assert [[r.id for r in row] for row in got] == [
         [r.id for r in row] for row in want
     ]
+
+
+def test_sharded_fused_matches_single_chip():
+    """scan_dtype='fused' shards: each device runs the Pallas bin-scan on
+    its TN-aligned row slice and the candidate merge stays one all_gather."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 64)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 8, 6000)]
+        + 0.3 * rng.standard_normal((6000, 64)).astype(np.float32)
+    ).astype(np.float32)
+    index = IvfRabitqIndex.train(
+        data, nlist=8, total_bits=7, seed=1, scan_dtype="fused"
+    )
+    mesh = sh.make_mesh(8)
+    sharded = sh.ShardedIvfIndex(index, mesh)
+    params = SearchParams(top_k=10, nprobe=8, rerank=256)
+    ids_s, _ = sharded.batch_search_arrays(data[:8], params)
+    ids_r, _ = index.batch_search_arrays(data[:8], params)
+    overlaps = []
+    for i in range(8):
+        a, b = set(ids_s[i].tolist()) - {-1}, set(ids_r[i].tolist()) - {-1}
+        assert ids_r[i][0] == ids_s[i][0], i  # top-1 must agree
+        overlaps.append(len(a & b))
+    # per-shard vs global survivor cuts can swap near-tied tail ranks
+    assert np.mean(overlaps) >= 9.0, overlaps

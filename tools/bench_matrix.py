@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import exact_groundtruth, make_dataset, recall_at_k  # noqa: E402
+from bench import exact_groundtruth, make_workload, recall_at_k  # noqa: E402
 
 
 def log(*a):
@@ -44,8 +44,9 @@ def main():
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(7)
-    data = make_dataset(args.rows, args.dim, max(args.nlist // 2, 8), rng)
-    queries = make_dataset(args.queries, args.dim, 8, rng)
+    data, queries = make_workload(
+        args.rows, args.queries, args.dim, max(args.nlist // 2, 8), rng
+    )
     gt = np.asarray(exact_groundtruth(data, queries, 10))
 
     t0 = time.time()

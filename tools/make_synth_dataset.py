@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import exact_groundtruth, make_dataset  # noqa: E402
+from bench import exact_groundtruth, make_workload  # noqa: E402
 
 
 def main():
@@ -39,11 +39,13 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     from rabitq_tpu.io.vecio import write_fvecs, write_ivecs
 
-    # identical draw order to bench.py:100-102 (data, then 2048 queries)
+    # identical draw order to bench.py (data, then 2048 in-distribution queries)
     rng = np.random.default_rng(7)
     print(f"generating {args.rows}x{args.dim} ...", file=sys.stderr, flush=True)
-    data = make_dataset(args.rows, args.dim, max(args.nlist // 2, 8), rng)
-    queries = make_dataset(2048, args.dim, 8, rng)[: args.queries]
+    data, queries = make_workload(
+        args.rows, 2048, args.dim, max(args.nlist // 2, 8), rng
+    )
+    queries = queries[: args.queries]
 
     base = os.path.join(args.out, "base.fvecs")
     qf = os.path.join(args.out, "query.fvecs")
