@@ -31,28 +31,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_dataset(n, dim, n_centers, rng, centers=None):
+def make_dataset(n, dim, n_centers, rng, centers=None, sigma=0.35):
     """Clustered Gaussian data (GIST-like structure, not uniform noise)."""
     if centers is None:
         centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
     assign = rng.integers(0, centers.shape[0], n)
-    data = centers[assign] + 0.35 * rng.standard_normal((n, dim)).astype(np.float32)
+    data = centers[assign] + sigma * rng.standard_normal((n, dim)).astype(np.float32)
     return data.astype(np.float32)
 
 
-def make_workload(rows, n_queries, dim, n_centers, rng):
-    """(data, queries) with queries drawn IN-DISTRIBUTION (same center
-    mixture as the data), like real GIST query sets.
+def make_workload(rows, n_queries, dim, n_centers, rng, sigma=1.5):
+    """(data, queries): overlapping Gaussian blobs with queries drawn
+    IN-DISTRIBUTION (same center mixture as the data), like real GIST
+    query sets.
 
-    Early rounds drew queries from 8 fresh centers — out-of-distribution
-    in high dim, which scatters a query's true neighbors across many
-    clusters/posting lists and understates every cluster-routed method
-    (MSTG recall degenerates to ~the probed-list fraction; IVF loses
-    several recall points). Measured in BENCHMARKS.md.
+    Calibration (measured, BENCHMARKS.md): queries from 8 fresh centers
+    are out-of-distribution in high dim — a query's true neighbors
+    scatter across many clusters and every cluster-routed method
+    degenerates (MSTG recall ~= the probed-list fraction). Conversely,
+    sigma <= 1.2 makes blobs separable enough that nprobe=2 already
+    recalls ~0.98 — no recall/QPS tradeoff to measure. sigma = 1.5
+    (blob radius ~= center separation) reproduces the reference's
+    published GIST curve shape: recall@100 climbing from ~0.7 to ~0.95+
+    across the sweep.
     """
     centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
-    data = make_dataset(rows, dim, n_centers, rng, centers=centers)
-    queries = make_dataset(n_queries, dim, n_centers, rng, centers=centers)
+    data = make_dataset(rows, dim, n_centers, rng, centers=centers, sigma=sigma)
+    queries = make_dataset(n_queries, dim, n_centers, rng, centers=centers, sigma=sigma)
     return data, queries
 
 
@@ -127,7 +132,7 @@ def main():
 
     # groundtruth is deterministic given the config; cache it across runs
     cache_key = hashlib.sha1(
-        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v2".encode()
+        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v3".encode()
     ).hexdigest()[:16]
     cache_path = f"/tmp/rabitq_bench_gt_{cache_key}.npy"
     if os.path.exists(cache_path):

@@ -549,20 +549,30 @@ class IvfRabitqIndex:
             row_allowed = row_allowed & jnp.asarray(mask)
         return dev, packed, row_allowed
 
-    def _pad_queries(self, queries: np.ndarray, b_pad: int) -> np.ndarray:
+    def _pad_queries(self, queries: np.ndarray, b_pad: int):
+        """Returns (q_padded, qscale | None) in the upload encoding."""
         q = np.zeros((b_pad, self.dim), np.float32)
         q[: queries.shape[0]] = queries
         if self.upload_dtype == "bf16":
             import ml_dtypes
 
-            q = q.astype(ml_dtypes.bfloat16)
-        return q
+            return q.astype(ml_dtypes.bfloat16), None
+        if self.upload_dtype == "int8":
+            # symmetric per-query quantization: 4x fewer upload bytes;
+            # ~0.4% relative rounding on raw coordinates — below the 7-bit
+            # code quantization noise (recall-checked in tests)
+            scale = np.maximum(np.abs(q).max(axis=1), 1e-30) / 127.0
+            q_i8 = np.clip(np.rint(q / scale[:, None]), -127, 127).astype(np.int8)
+            return q_i8, scale.astype(np.float32)
+        return q, None
 
     def _dispatch_scan(self, q_padded, params, dev, packed, row_allowed):
-        """Enqueue rotation+scan on a padded query block; returns device
-        arrays (callers fetch — lets serving loops pipeline)."""
+        """Enqueue rotation+scan on a padded query block ((q, qscale) from
+        ``_pad_queries``); returns device arrays (callers fetch — lets
+        serving loops pipeline)."""
+        q, qscale = q_padded
         return self._fused_scan(
-            q_padded,
+            q,
             dev.centroids,
             dev.binary,
             dev.ex,
@@ -574,6 +584,7 @@ class IvfRabitqIndex:
             dev.cluster_of,
             row_allowed,
             dev.ids,
+            qscale=qscale,
             packed=packed,
             fused_cblk=self._fused_cblk,
             top_k=params.top_k,

@@ -419,10 +419,13 @@ def make_fused_search(rotate_fn):
     """
 
     @functools.partial(jax.jit, static_argnames=_SCAN_STATIC)
-    def fused(q, *args, **kwargs):
-        # accept bf16 query uploads (index.upload_dtype): half the bytes
-        # over the host link; all math stays f32 from here on
+    def fused(q, *args, qscale=None, **kwargs):
+        # accept bf16 (half) or symmetric-int8 (quarter) query uploads
+        # (index.upload_dtype): fewer bytes over the host link; all math
+        # stays f32 from here on. int8 carries a per-query scale.
         q = q.astype(jnp.float32)
+        if qscale is not None:
+            q = q * qscale[:, None]
         q_rot = rotate_fn(q) if rotate_fn is not None else q
         return scan_kernel(q_rot, *args, **kwargs)
 

@@ -288,21 +288,25 @@ def test_pipelined_search_matches_plain(rng):
     np.testing.assert_allclose(np.sort(dist_p, 1), np.sort(dist_r, 1), rtol=1e-5)
 
 
-def test_bf16_query_upload_recall(rng):
-    """upload_dtype='bf16' (half the query bytes over the host link) must
-    not perturb results beyond bf16 operand rounding: top-10 overlap with
-    the f32-upload path stays >= 9/10 on average."""
+@pytest.mark.parametrize("upload", ["bf16", "int8"])
+def test_reduced_precision_query_upload_recall(upload, rng):
+    """upload_dtype='bf16'/'int8' (half / quarter the query bytes over the
+    host link) must not perturb results beyond the encoding's rounding:
+    top-10 overlap with the f32-upload path stays >= 9/10 on average, and
+    the pipelined path honors the encoding too."""
     data = _dataset(rng, 2000, 64)
     index = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=3)
     queries = data[:64]
     params = SearchParams(top_k=10, nprobe=8)
     ids_f32, _ = index.batch_search_arrays(queries, params)
-    index.upload_dtype = "bf16"
-    ids_bf, _ = index.batch_search_arrays(queries, params)
+    index.upload_dtype = upload
+    ids_lo, _ = index.batch_search_arrays(queries, params)
     overlap = np.mean(
-        [len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids_f32, ids_bf)]
+        [len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids_f32, ids_lo)]
     )
     assert overlap >= 9.0, overlap
+    ids_p, _ = index.batch_search_arrays_pipelined(queries, params, batch_size=32)
+    np.testing.assert_array_equal(ids_p, ids_lo)
 
 
 @pytest.mark.parametrize("total_bits", [12, 16])

@@ -187,6 +187,32 @@ def test_fused_mstg_matches_bf16(rng):
     assert overlap >= 0.9, overlap
 
 
+@pytest.mark.parametrize("total_bits", [1, 8])
+def test_fused_bit_width_edges(total_bits, rng):
+    """ex_bits=0 (no refinement: stage 2 re-scores with the 1-bit
+    estimator) and ex_bits=7 (raw ex plane, two-gather formula) both flow
+    through the fused selection."""
+    n, dim = 2000, 64
+    centers = rng.normal(size=(8, dim)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 8, n)]
+        + 0.3 * rng.normal(size=(n, dim)).astype(np.float32)
+    ).astype(np.float32)
+    f32 = IvfRabitqIndex.train(
+        data, nlist=8, total_bits=total_bits, seed=6, scan_dtype="f32"
+    )
+    params = SearchParams(top_k=10, nprobe=8, rerank=256)
+    ids_ref, _ = f32.batch_search_arrays(data[:16], params)
+    f32.scan_dtype = "fused"
+    ids_fused, _ = f32.batch_search_arrays(data[:16], params)
+    overlap = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(ids_ref, ids_fused)]
+    )
+    # 1-bit estimates are noisy; parity with the exact-selection f32 path
+    # is what matters, not absolute recall
+    assert overlap >= (0.8 if total_bits == 1 else 0.9), overlap
+
+
 def test_fused_diagnostics_falls_back(rng):
     """search_with_diagnostics works on a fused index (dense fallback)."""
     data = rng.normal(size=(1500, 64)).astype(np.float32)
