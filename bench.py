@@ -40,7 +40,7 @@ def make_dataset(n, dim, n_centers, rng, centers=None, sigma=0.35):
     return data.astype(np.float32)
 
 
-def make_workload(rows, n_queries, dim, n_centers, rng, sigma=1.5):
+def make_workload(rows, n_queries, dim, n_centers, rng, sigma=None):
     """(data, queries): overlapping Gaussian blobs with queries drawn
     IN-DISTRIBUTION (same center mixture as the data), like real GIST
     query sets.
@@ -48,13 +48,17 @@ def make_workload(rows, n_queries, dim, n_centers, rng, sigma=1.5):
     Calibration (measured, BENCHMARKS.md): queries from 8 fresh centers
     are out-of-distribution in high dim — a query's true neighbors
     scatter across many clusters and every cluster-routed method
-    degenerates (MSTG recall ~= the probed-list fraction). Conversely,
-    sigma <= 1.2 makes blobs separable enough that nprobe=2 already
-    recalls ~0.98 — no recall/QPS tradeoff to measure. sigma = 1.5
-    (blob radius ~= center separation) reproduces the reference's
-    published GIST curve shape: recall@100 climbing from ~0.7 to ~0.95+
-    across the sweep.
+    degenerates (MSTG recall ~= the probed-list fraction). Too-small
+    sigma makes blobs separable enough that tiny nprobe already recalls
+    ~0.99 — no tradeoff curve to measure. Difficulty is set by the
+    cross-blob distance gap (~2d) against the within-blob distance
+    spread (~sigma^2 sqrt(8d)), so constant difficulty needs
+    sigma ~ d^(1/4): the default 1.5 * (d/128)^0.25 (~2.5 at 960-d)
+    reproduces the reference's published GIST curve shape — recall@100
+    climbing from ~0.7 to ~0.97+ across an nprobe sweep.
     """
+    if sigma is None:
+        sigma = 1.5 * (dim / 128.0) ** 0.25
     centers = rng.standard_normal((n_centers, dim)).astype(np.float32)
     data = make_dataset(rows, dim, n_centers, rng, centers=centers, sigma=sigma)
     queries = make_dataset(n_queries, dim, n_centers, rng, centers=centers, sigma=sigma)
@@ -132,7 +136,7 @@ def main():
 
     # groundtruth is deterministic given the config; cache it across runs
     cache_key = hashlib.sha1(
-        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v3".encode()
+        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v4".encode()
     ).hexdigest()[:16]
     cache_path = f"/tmp/rabitq_bench_gt_{cache_key}.npy"
     if os.path.exists(cache_path):

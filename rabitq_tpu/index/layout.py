@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .scan import device_row_permutation, make_refine_plane
+from .scan import device_row_permutation, ex_plane_is_total, make_refine_plane
 
 _ROW_PAD = 128  # device row padding multiple
 
@@ -185,14 +185,29 @@ def assemble_host_chunks(
     chunk_rows: int,
     zero_f_error: bool = False,
     row_pad: int = _ROW_PAD,
+    fused: bool = False,
 ) -> list[dict]:
     """Chunked variant for the streamed tier: the SAME permuted layout,
     split into host-resident slabs of ``chunk_rows`` (each padded to
     ``row_pad``) that upload lazily per query batch.
 
     One global scatter keeps ``approx_max_k`` bins iid within each chunk.
+
+    ``fused=True`` targets the fused Pallas scan instead: rows stay
+    CLUSTER-SORTED (no scatter), chunks pad to the kernel's TN row tiles,
+    and each chunk carries ``packed`` 1-bit code planes (8x fewer upload
+    bytes than the dense int8 plane — the streamed tier is
+    transfer-bound) plus its ``cblk`` cluster-window indices. When the
+    refine plane holds TOTAL codes the dense binary plane is omitted
+    entirely (stage 2 never reads it).
     """
-    perm = device_row_permutation(n, n)[:n]
+    if fused:
+        from ..ops.pallas_fused_scan import TN
+
+        row_pad = TN
+        perm = np.arange(n, dtype=np.int64)
+    else:
+        perm = device_row_permutation(n, n)[:n]
     cluster_of = cluster_of_rows(cluster_sizes, n)[perm]
     ids_p = np.asarray(ids).astype(np.int32)[perm]
     binary_p = np.asarray(binary)[perm]
@@ -226,14 +241,24 @@ def assemble_host_chunks(
 
         valid = np.zeros(m, bool)
         valid[:rows] = True
-        chunks.append(
-            dict(
-                binary=pad2(binary_p, np.int8),
-                ex=pad2(plane, ex_dt),
-                cluster_of=pad1(cluster_of),
-                ids=pad1(ids_p, fill=-1),
-                valid=valid,
-                **{k: pad1(v) for k, v in scal.items()},
-            )
+        chunk = dict(
+            binary=pad2(binary_p, np.int8),
+            ex=pad2(plane, ex_dt),
+            cluster_of=pad1(cluster_of),
+            ids=pad1(ids_p, fill=-1),
+            valid=valid,
+            **{k: pad1(v) for k, v in scal.items()},
         )
+        if fused:
+            from ..ops.pallas_fused_scan import tile_cluster_blocks
+            from ..ops.pallas_scan import pack_bitplanes_np
+
+            dpad = chunk["binary"].shape[1]
+            chunk["packed"] = pack_bitplanes_np(chunk["binary"], dpad)
+            chunk["cblk"] = tile_cluster_blocks(chunk["cluster_of"], valid)
+            if ex_plane_is_total(ex_bits):
+                # stage 1 reads packed planes, stage 2 the TOTAL plane:
+                # the dense binary plane would be pure upload waste
+                del chunk["binary"]
+        chunks.append(chunk)
     return chunks

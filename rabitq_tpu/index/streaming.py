@@ -37,12 +37,15 @@ class StreamedIvfIndex:
 
     def __init__(self, index: IvfRabitqIndex, chunk_rows: int = 1 << 20):
         self.index = index
-        # the streamed path scans dense planes; packed bitplanes are not
-        # chunked (fall back like the sharded path does)
-        self._scan_dtype = "bf16" if index.scan_dtype in ("packed", "fused") else index.scan_dtype
+        # fused chunks stream packed 1-bit planes (8x fewer code bytes on
+        # a transfer-bound tier); the "packed" kernel has no chunked
+        # variant and falls back to the dense path
+        self._scan_dtype = "bf16" if index.scan_dtype == "packed" else index.scan_dtype
+        self._fused = self._scan_dtype == "fused"
         h = index.host  # materializes host planes if the index was device-built
         n = len(index)
-        chunk_rows = max(256, (chunk_rows // 128) * 128)
+        unit = 512 if self._fused else 128
+        chunk_rows = max(2 * unit, (chunk_rows // unit) * unit)
         self.chunk_rows = chunk_rows
 
         self._chunks = assemble_host_chunks(
@@ -58,6 +61,7 @@ class StreamedIvfIndex:
             cluster_sizes=np.diff(h.cluster_offsets),
             ids=h.ids,
             chunk_rows=chunk_rows,
+            fused=self._fused,
         )
         self._centroids = jnp.asarray(h.centroids)
         # free the wrapped index's resident HBM planes — the whole point of
@@ -95,10 +99,19 @@ class StreamedIvfIndex:
             cur, staged = staged, None
             if i + 1 < len(self._chunks):
                 staged = _put(self._chunks[i + 1])
+            # fused chunks with a TOTAL refine plane omit the dense binary
+            # plane from the upload (stage 2 never reads it); the scan's
+            # signature still wants an array of the right shape, created
+            # on device for free
+            binary_c = cur.get("binary")
+            if binary_c is None:
+                binary_c = jnp.zeros(
+                    (cur["ex"].shape[0], self.index.padded_dim), jnp.int8
+                )
             ids_c, dist_c = scan_kernel(
                 q_rot,
                 self._centroids,
-                cur["binary"],
+                binary_c,
                 cur["ex"],
                 cur["f_add"],
                 cur["f_rescale"],
@@ -108,6 +121,8 @@ class StreamedIvfIndex:
                 cur["cluster_of"],
                 cur["valid"],
                 cur["ids"],
+                packed=cur.get("packed"),
+                fused_cblk=cur.get("cblk"),
                 nprobe=params.nprobe,
                 top_k=params.top_k,
                 rerank=params.resolved_rerank(),

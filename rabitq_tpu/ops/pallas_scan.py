@@ -62,6 +62,20 @@ def pack_bitplanes(binary: jax.Array, padded_dim: int) -> jax.Array:
     return jnp.sum(b * weights, axis=-1).astype(jnp.uint8)
 
 
+def pack_bitplanes_np(binary: np.ndarray, padded_dim: int) -> np.ndarray:
+    """Host-side ``pack_bitplanes`` (same layout) for streamed-tier chunks
+    that must stay off-device until upload."""
+    n = binary.shape[0]
+    db = packed_bytes(padded_dim)
+    pad = db * 8 - padded_dim
+    b = np.asarray(binary, np.uint16)
+    if pad:
+        b = np.pad(b, ((0, 0), (0, pad)))
+    b = b.reshape(n, db, 8)
+    weights = (1 << np.arange(8, dtype=np.uint16))[None, None, :]
+    return (b * weights).sum(axis=-1).astype(np.uint8)
+
+
 def permute_query(q_rot: jax.Array, padded_dim: int) -> jax.Array:
     """[B, Dpad] -> [B, 8*Db] bf16 in bit-plane order (p = k*Db + j)."""
     b = q_rot.shape[0]

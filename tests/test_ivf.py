@@ -272,6 +272,26 @@ def test_streamed_index_matches_in_memory(rng):
     np.testing.assert_allclose(np.sort(dist_s, 1), np.sort(dist_r, 1), rtol=1e-5)
 
 
+def test_streamed_fused_matches_in_memory(rng):
+    """Streamed chunks in fused mode (cluster-sorted, packed 1-bit planes,
+    no dense binary upload when the refine plane is total) must match the
+    in-memory fused index."""
+    from rabitq_tpu.index.streaming import StreamedIvfIndex
+
+    data = _dataset(rng, 3000, 64)
+    index = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=1,
+                                 scan_dtype="fused")
+    params = SearchParams(top_k=10, nprobe=8, rerank=512)
+    ids_r, _ = index.batch_search_arrays(data[:8], params)
+    streamed = StreamedIvfIndex(index, chunk_rows=1024)
+    assert streamed.n_chunks == 3
+    assert "binary" not in streamed._chunks[0]  # total plane: not uploaded
+    ids_s, _ = streamed.batch_search_arrays(data[:8], params)
+    for i in range(8):
+        assert ids_s[i][0] == ids_r[i][0] == i
+        assert len(set(ids_s[i].tolist()) & set(ids_r[i].tolist())) >= 9, i
+
+
 def test_pipelined_search_matches_plain(rng):
     """The double-buffered serving loop must return exactly the plain
     path's results (same compiled program, blocks of one fixed shape),
