@@ -321,7 +321,7 @@ def main(argv=None):
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--query-limit", type=int, default=None)
     s.add_argument("--scan-dtype", default="bf16",
-                   choices=["f32", "bf16", "int8", "packed", "fused"])
+                   choices=["f32", "bf16", "int8", "packed", "fused", "fused8"])
     s.add_argument("--rerank", type=int, default=None,
                    help="survivor re-rank budget (default: max(4k, 400); "
                    "raise to ~40x k for high-recall k=100 sweeps)")

@@ -214,7 +214,7 @@ class BruteForceRabitqIndex:
 
         dev = self.device
         packed = None
-        if self.scan_dtype == "fused":
+        if self.scan_dtype in ("fused", "fused8"):
             # brute force scans every row anyway (no cluster pruning to
             # fold), so the fused selection kernel buys nothing here; the
             # dense bf16 path is the equivalent configuration

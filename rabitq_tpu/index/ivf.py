@@ -359,7 +359,9 @@ class IvfRabitqIndex:
     def _layout_mode(self) -> str:
         """'sorted' (cluster-contiguous, TN-padded — fused Pallas scan) or
         'perm' (pseudorandom scatter — approx_max_k paths)."""
-        return "sorted" if self.scan_dtype == "fused" else "perm"
+        from .scan import is_fused
+
+        return "sorted" if is_fused(self.scan_dtype) else "perm"
 
     def _layout_kwargs(self) -> dict:
         if self._layout_mode() == "sorted":
@@ -528,13 +530,15 @@ class IvfRabitqIndex:
         """Device layout + packed plane + row mask shared by search paths."""
         dev = self.device
         packed = None
-        if self.scan_dtype in ("packed", "fused"):
+        from .scan import is_fused
+
+        if self.scan_dtype == "packed" or is_fused(self.scan_dtype):
             if self._packed is None:
                 from ..ops.pallas_scan import pack_bitplanes
 
                 self._packed = pack_bitplanes(dev.binary, self.padded_dim)
             packed = self._packed
-        if self.scan_dtype == "fused" and self._fused_cblk is None:
+        if is_fused(self.scan_dtype) and self._fused_cblk is None:
             from ..ops.pallas_fused_scan import tile_cluster_blocks
             from .layout import cluster_of_rows
 

@@ -233,7 +233,9 @@ class MstgIndex:
         return code_bytes + factor_bytes + cent_bytes
 
     def _layout_mode(self) -> str:
-        return "sorted" if self.scan_dtype == "fused" else "perm"
+        from ..scan import is_fused
+
+        return "sorted" if is_fused(self.scan_dtype) else "perm"
 
     @property
     def device(self):
@@ -290,13 +292,15 @@ class MstgIndex:
         dev = self.device
         packed = None
         fused_cblk = None
-        if self.scan_dtype in ("packed", "fused"):
+        from ..scan import is_fused
+
+        if self.scan_dtype == "packed" or is_fused(self.scan_dtype):
             if getattr(self, "_packed", None) is None:
                 from ...ops.pallas_scan import pack_bitplanes
 
                 self._packed = pack_bitplanes(dev.binary, self.quant_dim)
             packed = self._packed
-        if self.scan_dtype == "fused":
+        if is_fused(self.scan_dtype):
             if getattr(self, "_fused_cblk", None) is None:
                 from ...ops.pallas_fused_scan import tile_cluster_blocks
                 from ..layout import cluster_of_rows

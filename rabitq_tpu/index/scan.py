@@ -34,6 +34,13 @@ from ..types import Metric
 from ..ops import estimator as est_ops
 
 
+def is_fused(scan_dtype: str) -> bool:
+    """'fused' (bf16 stage-1 operands) or 'fused8' (int8-quantized query
+    on the stage-1 MXU dot: 2x MXU throughput, the moral twin of the
+    dense path's scan_dtype='int8')."""
+    return scan_dtype in ("fused", "fused8")
+
+
 def ex_plane_is_total(ex_bits: int) -> bool:
     """Whether the refine plane stores TOTAL codes (single-gather re-rank).
 
@@ -215,7 +222,7 @@ def scan_kernel(
     probe_mask = jnp.zeros((b, n_clusters), jnp.bool_)
     probe_mask = probe_mask.at[jnp.arange(b)[:, None], ranked].max(within)
 
-    if scan_dtype == "fused" and not with_diagnostics:
+    if is_fused(scan_dtype) and not with_diagnostics:
         # Fully fused Pallas stage-1 + selection (ops/pallas_fused_scan.py):
         # no [B, N] tensor is ever materialized — the per-cluster g-terms
         # expand in-kernel over cluster-sorted rows and survivors come from
@@ -241,6 +248,7 @@ def scan_kernel(
             fused_cblk,
             rerank,
             d,
+            int8_stage1=(scan_dtype == "fused8"),
         )
         rerank = cand_idx.shape[1]
         return _stage2_rerank(
@@ -256,7 +264,7 @@ def scan_kernel(
     # quantization error. The f32 oracle path keeps full precision.
     # (scan_dtype="fused" lands here only for with_diagnostics — the dense
     # oracle fallback on the cluster-sorted layout, with exact selection.)
-    if scan_dtype == "fused":
+    if is_fused(scan_dtype):
         scan_dtype = "bf16"
         approx_topk = False  # cluster-sorted rows break approx_max_k's bins
     g_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16

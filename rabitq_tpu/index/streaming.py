@@ -41,7 +41,9 @@ class StreamedIvfIndex:
         # a transfer-bound tier); the "packed" kernel has no chunked
         # variant and falls back to the dense path
         self._scan_dtype = "bf16" if index.scan_dtype == "packed" else index.scan_dtype
-        self._fused = self._scan_dtype == "fused"
+        from .scan import is_fused
+
+        self._fused = is_fused(self._scan_dtype)
         h = index.host  # materializes host planes if the index was device-built
         n = len(index)
         unit = 512 if self._fused else 128

@@ -98,7 +98,8 @@ def _pad_clusters(c: int) -> int:
 
 def _kernel(
     c_blk_ref,  # scalar prefetch: [N_tiles] int32 window block index
-    q_ref,  # [tb, D8] bf16 bit-plane-permuted queries
+    q_ref,  # [tb, D8] bf16 (or int8-quantized) bit-plane-permuted queries
+    qs_ref,  # [1, tb] f32 per-query dequant scale (ones for bf16 queries)
     packed_ref,  # [TN, Db] uint8
     fa_ref,  # [1, TN] f32 f_add (+BIG on masked rows)
     fr_ref,  # [1, TN] f32 f_rescale
@@ -121,15 +122,20 @@ def _kernel(
 
     # --- <binary, q> on the MXU over in-VMEM unpacked bit planes ---
     x = packed_ref[:].astype(jnp.int32)  # [TN, Db]
+    int8_q = q_ref.dtype == jnp.int8  # static: selects the MXU operand mode
+    bit_dt = jnp.int8 if int8_q else jnp.bfloat16
     bits = jnp.concatenate(
         [((x >> k) & 1) for k in range(8)], axis=-1
-    ).astype(jnp.bfloat16)  # [TN, 8*Db] in bit-plane order (matches permute_query)
+    ).astype(bit_dt)  # [TN, 8*Db] in bit-plane order (matches permute_query)
     acc = jax.lax.dot_general(
         q_ref[:],
         bits,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        # int8 x int8 -> int32 runs the MXU at 2x bf16 throughput
+        preferred_element_type=jnp.int32 if int8_q else jnp.float32,
     )  # [tb, TN]
+    if int8_q:
+        acc = acc.astype(jnp.float32) * qs_ref[0, :][:, None]
 
     # --- g-term expansion: one-hot window matmul (no [B, N] gather) ---
     loc = cl_ref[0, :] - c_blk_ref[i] * 128  # [TN] in [0, W) for valid rows
@@ -168,7 +174,7 @@ def _kernel(
 
 def fused_bin_scan(
     packed: jax.Array,  # [Np, Db] uint8, Np % TN == 0, Db % 128 == 0
-    q_perm: jax.Array,  # [Bp, 8*Db] bf16 (permute_query output)
+    q_perm: jax.Array,  # [Bp, 8*Db] bf16 or int8 (permute_query / quantized)
     fa_eff: jax.Array,  # [Np] f32 f_add with +BIG folded onto masked rows
     f_rescale: jax.Array,  # [Np] f32
     f_error: jax.Array,  # [Np] f32
@@ -177,6 +183,7 @@ def fused_bin_scan(
     g1: jax.Array,  # [Bp, C_pad] bf16: g_add, BIG where cluster unprobed
     g2: jax.Array,  # [Bp, C_pad] bf16: g_error
     c_blk: jax.Array,  # [N_tiles] int32 (tile_cluster_blocks)
+    q_scale: jax.Array | None = None,  # [Bp] f32 dequant scale (int8 q_perm)
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (bins_val [Bp, L] f32, bins_idx [Bp, L] int32):
     ``bins_val[b, l] = min over rows n == l (mod L) of lb[b, n]`` with
@@ -197,6 +204,7 @@ def fused_bin_scan(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, d8), lambda j, i, c: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda j, i, c: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((TN, db), lambda j, i, c: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
@@ -233,6 +241,7 @@ def fused_bin_scan(
     )(
         c_blk,
         q_perm,
+        (jnp.ones((bq,), jnp.float32) if q_scale is None else q_scale).reshape(1, bq),
         packed,
         fa_eff.reshape(1, n),
         f_rescale.reshape(1, n),
@@ -260,11 +269,17 @@ def fused_select(
     c_blk: jax.Array,
     rerank: int,
     padded_dim: int,
+    int8_stage1: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Stage-1 + survivor selection. Returns (cand_idx [Bp, R] int32,
-    cand_ok [Bp, R] bool) for the shared stage-2 re-rank."""
+    cand_ok [Bp, R] bool) for the shared stage-2 re-rank.
+
+    ``int8_stage1`` quantizes the permuted query symmetrically per row and
+    runs the stage-1 dot as int8 x int8 -> int32 (2x MXU throughput) — the
+    fused twin of the dense path's ``scan_dtype="int8"``; codes are {0,1}
+    so only the query rounds."""
     b = q_rot.shape[0]
-    b_pad = ((b + 15) // 16) * 16  # bf16 sublane-aligned query tiles
+    b_pad = ((b + 31) // 32) * 32  # int8/bf16 sublane-aligned query tiles
     if b_pad != b:
         pad = ((0, b_pad - b), (0, 0))
         q_rot = jnp.pad(q_rot, pad)
@@ -279,6 +294,13 @@ def fused_select(
         g1 = jnp.pad(g1, ((0, 0), (0, c_pad - c)), constant_values=BIG)
         g_err = jnp.pad(g_err, ((0, 0), (0, c_pad - c)))
     q_perm = permute_query(q_rot, padded_dim)
+    q_scale = None
+    if int8_stage1:
+        qf = q_perm.astype(jnp.float32)
+        q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-30) / 127.0
+        q_perm = jnp.clip(
+            jnp.round(qf / q_scale[:, None]), -127, 127
+        ).astype(jnp.int8)
     bins_val, bins_idx = fused_bin_scan(
         packed,
         q_perm,
@@ -290,6 +312,7 @@ def fused_select(
         g1.astype(jnp.bfloat16),
         jnp.asarray(g_err, jnp.bfloat16),
         c_blk,
+        q_scale=q_scale,
     )
     r = min(rerank, n_bins())
     neg_lb, pos = jax.lax.top_k(-bins_val, r)

@@ -113,7 +113,7 @@ def sharded_scan(
     local_k = top_k
     row_spec = P(SHARD_AXIS)
     row_spec2 = P(SHARD_AXIS, None)
-    fused = scan_dtype == "fused"
+    fused = scan_dtype in ("fused", "fused8")
 
     def per_device(q, cents, b, e, fa, fr, fe, fae, fre, cof, allow, idv, peps,
                    *fused_args):
@@ -297,7 +297,7 @@ class ShardedIvfIndex:
         dev = index.device
         n_dev = self.mesh.shape[SHARD_AXIS]
         rows = int(dev.binary.shape[0])
-        self._fused = index.scan_dtype == "fused"
+        self._fused = index.scan_dtype in ("fused", "fused8")
         # pad rows to a multiple of the mesh size (fused: each shard must
         # also be a whole number of TN-row kernel tiles)
         unit = n_dev
@@ -439,7 +439,7 @@ class ShardedMstgIndex:
             rerank=rerank,
             metric=index.config.metric,
             ex_bits=index.config.rabitq_bits - 1,
-            scan_dtype="bf16" if index.scan_dtype in ("packed", "fused") else index.scan_dtype,
+            scan_dtype="bf16" if index.scan_dtype in ("packed", "fused", "fused8") else index.scan_dtype,
             use_prune_epsilon=True,
             refine_ex=index.config.refine_ex,
             clamp_l2=True,

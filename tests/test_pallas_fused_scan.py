@@ -213,6 +213,30 @@ def test_fused_bit_width_edges(total_bits, rng):
     assert overlap >= (0.8 if total_bits == 1 else 0.9), overlap
 
 
+def test_fused8_matches_fused(rng):
+    """scan_dtype='fused8' (int8-quantized stage-1 query on the MXU) must
+    track the bf16 fused path — codes are {0,1} so only the query rounds
+    (the dense path's int8 mode has the same contract)."""
+    n, dim = 3000, 96
+    centers = rng.normal(size=(12, dim)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 12, n)]
+        + 0.3 * rng.normal(size=(n, dim)).astype(np.float32)
+    ).astype(np.float32)
+    index = IvfRabitqIndex.train(
+        data, nlist=12, total_bits=7, metric=Metric.L2, seed=5,
+        scan_dtype="fused",
+    )
+    params = SearchParams(top_k=10, nprobe=12, rerank=256)
+    ids_f, _ = index.batch_search_arrays(data[:24], params)
+    index.scan_dtype = "fused8"  # same sorted layout: no re-materialization
+    ids_8, _ = index.batch_search_arrays(data[:24], params)
+    overlap = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(ids_f, ids_8)]
+    )
+    assert overlap >= 0.95, overlap
+
+
 def test_fused_diagnostics_falls_back(rng):
     """search_with_diagnostics works on a fused index (dense fallback)."""
     data = rng.normal(size=(1500, 64)).astype(np.float32)
