@@ -112,7 +112,7 @@ def main():
     ap.add_argument("--target-recall", type=float, default=0.95)
     ap.add_argument("--mstg", action="store_true", help="also benchmark an MSTG operating point")
     ap.add_argument("--small", action="store_true", help="tiny smoke-test config")
-    ap.add_argument("--scan-dtype", default="fused",
+    ap.add_argument("--scan-dtype", default="fused8",
                     choices=["f32", "bf16", "int8", "packed", "fused", "fused8"])
     ap.add_argument("--pipeline-block", type=int, default=512)
     ap.add_argument("--compare-dtypes", action="store_true",
