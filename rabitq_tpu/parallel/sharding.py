@@ -388,7 +388,13 @@ class ShardedMstgIndex:
         dev = index.device  # DeviceLayout
         n_dev = self.mesh.shape[SHARD_AXIS]
         rows = int(dev.binary.shape[0])
-        pad_to = ((rows + n_dev - 1) // n_dev) * n_dev
+        self._fused = index.scan_dtype in ("fused", "fused8")
+        unit = n_dev
+        if self._fused:
+            from ..ops.pallas_fused_scan import TN
+
+            unit = n_dev * TN
+        pad_to = ((rows + unit - 1) // unit) * unit
 
         def padded(x, fill=0):
             x = np.asarray(x)
@@ -398,19 +404,32 @@ class ShardedMstgIndex:
             out[:rows] = x
             return out
 
+        binary_pad = padded(dev.binary)
+        valid_pad = padded(dev.valid)
+        cluster_pad = padded(dev.cluster_of)
         self._rows = shard_rows(
             self.mesh,
-            padded(dev.binary),
+            binary_pad,
             padded(dev.ex),
             padded(dev.f_add),
             padded(dev.f_rescale),
             padded(dev.f_error),
             padded(dev.f_add_ex),
             padded(dev.f_rescale_ex),
-            padded(dev.cluster_of),
-            padded(dev.valid),
+            cluster_pad,
+            valid_pad,
             padded(dev.ids, fill=-1),
         )
+        self._packed = self._cblk = None
+        if self._fused:
+            from ..ops.pallas_fused_scan import tile_cluster_blocks
+            from ..ops.pallas_scan import pack_bitplanes
+
+            packed = np.asarray(
+                pack_bitplanes(jnp.asarray(binary_pad), index.quant_dim)
+            )
+            cblk = tile_cluster_blocks(cluster_pad, valid_pad)
+            (self._packed, self._cblk) = shard_rows(self.mesh, packed, cblk)
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
 
     def batch_search(self, queries: np.ndarray, params) -> list:
@@ -433,13 +452,15 @@ class ShardedMstgIndex:
             self._centroids,
             *self._rows,
             prune_epsilon=params.pruning_epsilon,
+            packed=self._packed,
+            fused_cblk=self._cblk,
             mesh=self.mesh,
             top_k=rerank,  # fetch the dedup budget, like MstgIndex does
             nprobe=params.ef_search,
             rerank=rerank,
             metric=index.config.metric,
             ex_bits=index.config.rabitq_bits - 1,
-            scan_dtype="bf16" if index.scan_dtype in ("packed", "fused", "fused8") else index.scan_dtype,
+            scan_dtype="bf16" if index.scan_dtype == "packed" else index.scan_dtype,
             use_prune_epsilon=True,
             refine_ex=index.config.refine_ex,
             clamp_l2=True,

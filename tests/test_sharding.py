@@ -127,3 +127,28 @@ def test_sharded_fused_matches_single_chip():
         overlaps.append(len(a & b))
     # per-shard vs global survivor cuts can swap near-tied tail ranks
     assert np.mean(overlaps) >= 9.0, overlaps
+
+
+def test_sharded_mstg_fused_matches_single_chip():
+    """ShardedMstgIndex with a fused-scan index shards the Pallas kernel
+    per posting-row slice (ef/epsilon pruning folded into the probe mask)."""
+    from rabitq_tpu import MstgConfig, MstgIndex, MstgSearchParams
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 8, 5000)]
+        + 0.3 * rng.standard_normal((5000, 64)).astype(np.float32)
+    ).astype(np.float32)
+    index = MstgIndex.build(
+        data, MstgConfig(max_posting_size=800, faster_config=True), seed=2
+    )
+    index.scan_dtype = "fused"
+    params = MstgSearchParams(top_k=10, ef_search=8, pruning_epsilon=0.8)
+    ref = index.batch_search(data[:8], params)
+    sharded = sh.ShardedMstgIndex(index, sh.make_mesh(8))
+    got = sharded.batch_search(data[:8], params)
+    for i, (a, b) in enumerate(zip(ref, got)):
+        assert b and b[0].id == i, (i, b[:2])
+        overlap = len({h.id for h in a} & {h.id for h in b})
+        assert overlap >= 8, (i, overlap)
