@@ -110,7 +110,14 @@ def main():
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--target-recall", type=float, default=0.95)
-    ap.add_argument("--mstg", action="store_true", help="also benchmark an MSTG operating point")
+    ap.add_argument(
+        "--mstg", dest="mstg", action="store_true", default=True,
+        help="also benchmark an MSTG operating point (default on)",
+    )
+    ap.add_argument(
+        "--no-mstg", dest="mstg", action="store_false",
+        help="skip the MSTG operating point",
+    )
     ap.add_argument("--small", action="store_true", help="tiny smoke-test config")
     ap.add_argument("--scan-dtype", default="fused8",
                     choices=["f32", "bf16", "int8", "packed", "fused", "fused8"])
@@ -225,8 +232,10 @@ def main():
                 dtype_qps[dt] = -1.0
         index.scan_dtype = args.scan_dtype
 
-    # single-query latency at the chosen operating point (f32 upload: a
-    # single query's 4 KB transfer is dispatch-dominated either way)
+    # single-query latency at the chosen operating point (f32 upload — a
+    # single query's 4 KB transfer is dispatch-dominated either way, so
+    # measure the plain configuration rather than the sweep's bf16 one)
+    index.upload_dtype = "f32"
     index.batch_search_arrays(queries[:1], params)  # compile B=1
     t0 = time.time()
     for i in range(32):
@@ -258,6 +267,7 @@ def main():
                 use_rotator=True,
             ),
             seed=42,
+            scan_dtype=args.scan_dtype,
         )
         mstg_build_s = time.time() - t0
         log(f"MSTG build: {mstg_build_s:.1f}s lists={mstg.posting_list_count()}")
@@ -294,6 +304,13 @@ def main():
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / baseline_qps, 2),
+        # the comparison's own caveats, carried IN the artifact: the
+        # baseline is the reference's published GIST-1M IVF figure — a
+        # SERIAL single-thread latency-inverted CPU number (BASELINE.md) —
+        # row-scaled to this dataset, while `value` is pipelined batched
+        # TPU throughput on a synthetic GIST-calibrated workload.
+        "baseline_kind": "reference serial-CPU latency-inverted IVF QPS, row-scaled",
+        "workload": f"synthetic-calibrated-{args.dim}d (bench.py make_workload)",
         "extra": extra,
     }
     print(json.dumps(result), flush=True)

@@ -49,6 +49,19 @@ def _pad_pow2(b: int) -> int:
     return p
 
 
+def allowed_id_table(filter_ids: np.ndarray, max_id: int) -> np.ndarray:
+    """Allowed-id set -> bool lookup over the id domain [0, max_id]
+    (``ivf.rs:1723-1730`` filter semantics; accepts an id array or a bool
+    mask over the id domain)."""
+    filter_ids = np.asarray(filter_ids)
+    if filter_ids.dtype == bool:
+        return filter_ids
+    table = np.zeros(max_id + 1, bool)
+    in_range = filter_ids[(filter_ids >= 0) & (filter_ids <= max_id)]
+    table[in_range.astype(np.int64)] = True
+    return table
+
+
 @dataclass
 class HostCodes:
     """Host-resident canonical storage (cluster-sorted row order)."""
@@ -131,8 +144,13 @@ class IvfRabitqIndex:
         pos_of_row[self._device_perm] = np.arange(self._device_perm.shape[0])
         take = jnp.asarray(pos_of_row[:n])
         with timed(f"download host codes n={n}", _log):
-            binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(np.uint8)
             ex = np.asarray(jnp.take(dev.ex, take, axis=0)).astype(np.uint16)
+            if dev.binary is not None:
+                binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(np.uint8)
+            else:
+                # fused layout dropped the dense plane: the refine plane
+                # holds TOTAL codes, so binary = total >> ex_bits
+                binary = (ex >> self.ex_bits).astype(np.uint8)
             if ex_plane_is_total(self.ex_bits):
                 # the device refine plane stores total codes; recover ex
                 ex = (ex.astype(np.int32) - (binary.astype(np.int32) << self.ex_bits)).astype(np.uint16)
@@ -526,24 +544,51 @@ class IvfRabitqIndex:
         dists = np.concatenate([f[1] for f in fetched])[:b_total]
         return ids, dists
 
+    def _maybe_downgrade_fused(self) -> None:
+        """Fused kernels need cluster-sorted tiles spanning <=128 clusters;
+        degenerate geometries (average cluster < TN/128 rows) fall back to
+        the dense bf16 path instead of crashing at cblk construction."""
+        from .scan import is_fused
+
+        if not is_fused(self.scan_dtype):
+            return
+        key = id(self._offsets)
+        cache = getattr(self, "_fused_ok_cache", None)
+        if cache is None or cache[0] != key:
+            from ..ops.pallas_fused_scan import fused_geometry_ok
+
+            cache = (key, fused_geometry_ok(np.diff(self._offsets)))
+            self._fused_ok_cache = cache
+        if not cache[1]:
+            _log.warning(
+                "cluster geometry too fine for scan_dtype=%r "
+                "(a row tile would span >128 clusters); falling back to bf16",
+                self.scan_dtype,
+            )
+            self.scan_dtype = "bf16"
+
     def _scan_inputs(self, filter_ids: np.ndarray | None):
         """Device layout + packed plane + row mask shared by search paths."""
+        self._maybe_downgrade_fused()
         dev = self.device
         packed = None
         from .scan import is_fused
 
         if self.scan_dtype == "packed" or is_fused(self.scan_dtype):
             if self._packed is None:
-                from ..ops.pallas_scan import pack_bitplanes
+                if dev.packed is not None:  # fused layouts pre-pack
+                    self._packed = dev.packed
+                else:
+                    from ..ops.pallas_scan import pack_bitplanes
 
-                self._packed = pack_bitplanes(dev.binary, self.padded_dim)
+                    self._packed = pack_bitplanes(dev.binary, self.padded_dim)
             packed = self._packed
         if is_fused(self.scan_dtype) and self._fused_cblk is None:
             from ..ops.pallas_fused_scan import tile_cluster_blocks
             from .layout import cluster_of_rows
 
             n = len(self)
-            n_pad = int(dev.binary.shape[0])
+            n_pad = int(dev.ids.shape[0])
             cluster_of = cluster_of_rows(np.diff(self._offsets), n_pad)
             valid = np.arange(n_pad) < n
             self._fused_cblk = jnp.asarray(tile_cluster_blocks(cluster_of, valid))
@@ -552,6 +597,46 @@ class IvfRabitqIndex:
             mask = self._row_filter(filter_ids)
             row_allowed = row_allowed & jnp.asarray(mask)
         return dev, packed, row_allowed
+
+    def _fused_max_tiles(self, nprobe, batch: int | None = None) -> int | None:
+        """Static probed-tile budget for the fused kernel's compaction.
+
+        None disables compaction (dense tile walk). Enabled when the safe
+        per-block bound (``probed_tile_bound``) is under half the tile
+        count — at the 1M/nprobe=4 operating point ~99% of stage-1 MXU
+        work lands on masked rows otherwise (the reference only ever scans
+        probed clusters, ``ivf.rs:1847-1872``). The bound is bucketed to a
+        power of two so nprobe sweeps compile at most log2(T) variants.
+        """
+        from .scan import is_fused
+
+        if not is_fused(self.scan_dtype) or not isinstance(nprobe, (int, np.integer)):
+            return None
+        import os
+
+        if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
+            return None
+        from ..ops.pallas_fused_scan import TB, TN, probed_tile_bound
+
+        from .layout import pad_rows
+
+        # the kernel's query tile is min(TB, ceil32(batch)): smaller
+        # batches have proportionally smaller per-block cluster unions
+        bt = TB if batch is None else min(TB, ((int(batch) + 31) // 32) * 32)
+        key = (id(self._offsets), int(nprobe), bt)
+        cache = getattr(self, "_max_tiles_cache", None)
+        if cache is None:
+            cache = self._max_tiles_cache = {}
+        if key not in cache:
+            n_tiles = pad_rows(len(self), TN) // TN
+            bound = probed_tile_bound(
+                np.diff(self._offsets), int(nprobe), batch_tile=bt
+            )
+            if bound >= n_tiles:
+                cache[key] = None  # every tile needed: dense walk
+            else:
+                cache[key] = min(1 << (bound - 1).bit_length(), n_tiles)
+        return cache[key]
 
     def _pad_queries(self, queries: np.ndarray, b_pad: int):
         """Returns (q_padded, qscale | None) in the upload encoding."""
@@ -598,16 +683,18 @@ class IvfRabitqIndex:
             ex_bits=self.ex_bits,
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
+            max_tiles=self._fused_max_tiles(params.nprobe, batch=q.shape[0]),
         )
 
     def search_with_diagnostics(
         self, query: np.ndarray, params: SearchParams
     ) -> tuple[list[SearchResult], "SearchDiagnostics"]:
-        """Search plus scan counters MEASURED from the kernel's masks
-        (reference test accessor ``ivf.rs:2131-2140``)."""
+        """Search plus scan counters MEASURED from the kernel's masks —
+        on the fused path, from counters inside the production Pallas
+        kernel itself (reference test accessor ``ivf.rs:2131-2140``)."""
         from ..types import SearchDiagnostics
 
-        dev = self.device
+        dev, packed, row_allowed = self._scan_inputs(None)
         q = np.zeros((1, self.dim), np.float32)
         q[0] = np.asarray(query, np.float32)
         ids, dists, diag = self._fused_scan(
@@ -621,8 +708,10 @@ class IvfRabitqIndex:
             dev.f_add_ex,
             dev.f_rescale_ex,
             dev.cluster_of,
-            dev.valid,
+            row_allowed,
             dev.ids,
+            packed=packed,
+            fused_cblk=self._fused_cblk,
             top_k=params.top_k,
             nprobe=params.nprobe,
             rerank=params.resolved_rerank(),
@@ -631,6 +720,7 @@ class IvfRabitqIndex:
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
             with_diagnostics=True,
+            max_tiles=self._fused_max_tiles(params.nprobe, batch=1),
         )
         ids, dists, diag = jax.device_get((ids, dists, diag))
         results = []
@@ -650,15 +740,8 @@ class IvfRabitqIndex:
         """Convert an allowed-id set into a per-row bool mask."""
         ids = self._ids
         n = ids.shape[0]
-        np_rows = self.device.binary.shape[0]
-        filter_ids = np.asarray(filter_ids)
-        if filter_ids.dtype == bool:
-            allowed_of_id = filter_ids
-        else:
-            max_id = int(ids.max(initial=0))
-            allowed_of_id = np.zeros(max_id + 1, bool)
-            in_range = filter_ids[(filter_ids >= 0) & (filter_ids <= max_id)]
-            allowed_of_id[in_range.astype(np.int64)] = True
+        np_rows = self.device.ids.shape[0]
+        allowed_of_id = allowed_id_table(filter_ids, int(ids.max(initial=0)))
         mask = np.zeros(np_rows, bool)
         idx = ids.astype(np.int64)
         safe = idx < allowed_of_id.shape[0]

@@ -54,9 +54,17 @@ def refine_plane_dtype(ex_bits: int):
 
 @dataclass
 class DeviceLayout:
-    """Device-resident arrays in the scan kernel's expected layout."""
+    """Device-resident arrays in the scan kernel's expected layout.
 
-    binary: jax.Array  # [Np, Dpad] int8 {0,1}
+    ``binary`` is None for fused layouts whose refine plane holds TOTAL
+    codes: stage 1 reads the packed bitplanes and stage 2 only the total
+    plane, so the dense [Np, Dpad] int8 binary plane would be ~1 GB of
+    dead HBM weight per 1M x 960 index (the reference stores each datum
+    once too, ``ivf.rs:205-242``). It is rebuilt from the total plane on
+    layout-mode switches (total >> ex_bits).
+    """
+
+    binary: jax.Array | None  # [Np, Dpad] int8 {0,1} (None: fused+total)
     ex: jax.Array  # [Np, Dpad] refine plane (see scan.make_refine_plane)
     f_add: jax.Array  # [Np] f32
     f_rescale: jax.Array
@@ -70,6 +78,7 @@ class DeviceLayout:
     perm: np.ndarray  # host->device row permutation actually used
     delta: jax.Array | None = None  # [Np] f32 (reconstruction; IVF keeps it)
     vl: jax.Array | None = None
+    packed: jax.Array | None = None  # [Np, Db] uint8 bitplanes (fused layouts)
 
     def scan_args(self) -> tuple:
         """Positional (binary..ids) args of ``scan_kernel`` in order."""
@@ -125,6 +134,9 @@ def assemble_device_layout(
     permute: bool = True,  # False: keep cluster-sorted order (fused Pallas
     # scan — its mod-L binning needs no iid scatter and its g-term windows
     # need cluster-contiguous rows; approx_max_k paths need permute=True)
+    keep_binary: bool = False,  # force-keep the dense binary plane even in
+    # fused layouts (needed when stage-2 refinement is DISABLED: the 1-bit
+    # re-score reads it)
 ) -> DeviceLayout:
     """Build the padded + permuted device layout from cluster-sorted rows."""
     n_pad = pad_rows(n, row_pad)
@@ -147,8 +159,23 @@ def assemble_device_layout(
     def scalar(x):
         return _pad_permute(x, n, n_pad, perm, np.float32)
 
+    binary_dev = _pad_permute(binary, n, n_pad, perm, np.int8)
+    packed_dev = None
+    if not permute:
+        # fused layouts: stage 1 streams packed bitplanes; when the refine
+        # plane holds TOTAL codes (and refinement is on) stage 2 never
+        # reads the dense binary plane either — don't keep ~1 byte/dim of
+        # dead HBM per row (the streamed tier already dropped it from its
+        # upload chunks)
+        from ..ops.pallas_scan import pack_bitplanes
+
+        packed_dev = pack_bitplanes(binary_dev, binary_dev.shape[1])
+        if ex_plane_is_total(ex_bits) and not keep_binary:
+            binary_dev = None
+
     return DeviceLayout(
-        binary=_pad_permute(binary, n, n_pad, perm, np.int8),
+        binary=binary_dev,
+        packed=packed_dev,
         ex=_pad_permute(plane, n, n_pad, perm, ex_dt),
         f_add=scalar(f_add),
         f_rescale=scalar(f_rescale),

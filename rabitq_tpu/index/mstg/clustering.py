@@ -12,6 +12,15 @@ closest vectors at once instead of one vector per iteration (the
 reference's loop moves one vector per iteration with a 10-iteration cap,
 ``mstg/clustering.rs:133-208`` — batched moves reach the same balance
 bound without O(moves) device round-trips).
+
+The recursion is LEVEL-SYNCHRONOUS (round 3): every oversized cluster of
+a level trains its child centroids on a fixed-size sampled subset (one
+compiled program shape, reused across splits), then a single
+group-restricted assignment pass (``ops.kmeans._grouped_assign_blocks``)
+routes the whole dataset to its children in one dispatch. The previous
+one-kmeans-per-cluster recursion compiled a fresh ``assign_dataset``
+shape per distinct cluster-size bucket — tens of 10-120 s remote
+compiles that dominated the 1M-row MSTG build (~20 min; now minutes).
 """
 
 from __future__ import annotations
@@ -24,7 +33,13 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ...ops.kmeans import run_kmeans
+from ...ops.kmeans import (
+    _block_size,
+    _grouped_assign_blocks,
+    _kmeans_device,
+    _pad_pow2,
+    DEFAULT_MAX_POINTS_PER_CENTROID,
+)
 from ...utils.logging import get_logger
 
 _log = get_logger("mstg.clustering")
@@ -54,40 +69,98 @@ def hierarchical_cluster(
     if data_dev is None:
         data_dev = jnp.asarray(data)  # uploaded once; splits gather on device
 
+    import jax
+
+    rng = np.random.default_rng(seed)
+    # row-group plane reused every level; dataset rows padded ONCE to a
+    # pow2 bucket so the grouped assignment compiles per (N_pad, C_pad)
+    n_pad = _pad_pow2(n)
+    if n_pad != n:
+        data_pad = jnp.concatenate(
+            [data_dev, jnp.zeros((n_pad - n, data.shape[1]), jnp.float32)]
+        )
+    else:
+        data_pad = data_dev
+
     active: list[np.ndarray] = [np.arange(n, dtype=np.int64)]
     final: list[np.ndarray] = []
     split_round = 0
-    while active:
-        idx = active.pop()
-        if idx.shape[0] <= max_cluster_size:
-            final.append(idx)
-            continue
-        split_round += 1
-        sub = data[idx]
-        k = min(branching_factor, sub.shape[0])
-        # pow2-bucketed gather + n_valid masking: behind a remote-compile
-        # tunnel each distinct shape costs a fresh compile, and the split
-        # recursion produces hundreds of distinct cluster sizes
-        m = idx.shape[0]
-        m_pad = 1 << max(8, (m - 1).bit_length())
-        idx_pad = np.zeros(m_pad, np.int64)
-        idx_pad[:m] = idx
+    level = 0
+    while True:
+        oversized = [c for c in active if c.shape[0] > max_cluster_size]
+        final.extend(c for c in active if c.shape[0] <= max_cluster_size)
+        if not oversized:
+            break
+        level += 1
         t0 = time.perf_counter()
-        sub_dev = jnp.take(data_dev, jnp.asarray(idx_pad), axis=0)
-        km = run_kmeans(
-            sub, k, niter=kmeans_iters, seed=seed + split_round,
-            data_dev=sub_dev, n_valid=m,
-        )
+
+        # --- per-cluster child centroids from fixed-size sampled subsets ---
+        cents: list[np.ndarray] = []
+        ks: list[int] = []
+        for idx in oversized:
+            split_round += 1
+            m = idx.shape[0]
+            k = min(branching_factor, m)
+            target = max(min(m, k * DEFAULT_MAX_POINTS_PER_CENTROID), k)
+            sel = idx[rng.permutation(m)[:target]]
+            block = min(_block_size(k), _pad_pow2(target))
+            nt_pad = ((target + block - 1) // block) * block
+            rows_pad = np.zeros(nt_pad, np.int64)
+            rows_pad[:target] = sel
+            train_dev = jnp.take(data_pad, jnp.asarray(rows_pad), axis=0)
+            key = jax.random.PRNGKey((seed + split_round) * 1_000_003)
+            cents.append(
+                np.asarray(
+                    _kmeans_device(train_dev, key, k, kmeans_iters, block, target, False)
+                )
+            )
+            ks.append(k)
+
+        # --- ONE grouped assignment dispatch for the whole level ---
+        g_count = len(oversized)
+        c_total = int(sum(ks))
+        c_pad = _pad_pow2(c_total, floor=8)
+        cent_cat = np.zeros((c_pad, data.shape[1]), np.float32)
+        cent_cat[:c_total] = np.concatenate(cents)
+        cent_group = np.full(c_pad, -2, np.int32)  # filler: matches no row
+        cent_group[:c_total] = np.repeat(np.arange(g_count, dtype=np.int32), ks)
+        row_group = np.full(n_pad, -1, np.int32)
+        for gi, idx in enumerate(oversized):
+            row_group[idx] = gi
+        block = min(_block_size(c_pad), n_pad)
+        assign = np.asarray(
+            _grouped_assign_blocks(
+                data_pad,
+                jnp.asarray(cent_cat),
+                jnp.asarray(cent_group),
+                jnp.asarray(row_group),
+                block,
+            )
+        )[:n]
+
+        # --- split into children + per-group host rebalance ---
+        child_base = np.concatenate([[0], np.cumsum(ks)])
+        next_active: list[np.ndarray] = []
+        for gi, idx in enumerate(oversized):
+            local = assign[idx] - child_base[gi]
+            groups = [idx[local == c] for c in range(ks[gi])]
+            if balance_weight > 0.0:
+                groups = _rebalance(
+                    data[idx], idx, groups, cents[gi], balance_weight
+                )
+            m = idx.shape[0]
+            live = [g for g in groups if g.size]
+            if len(live) <= 1 or max(g.size for g in live) == m:
+                # degenerate split (all rows in one child): force an even
+                # partition so the recursion terminates
+                parts = max(2, (m + max_cluster_size - 1) // max_cluster_size)
+                live = np.array_split(idx, parts)
+            next_active.extend(g for g in live if g.size)
+        active = next_active
         _log.debug(
-            "split %d: %d rows -> %d children (%.2fs)",
-            split_round, m, k, time.perf_counter() - t0,
+            "level %d: %d clusters -> %d children (%.2fs)",
+            level, g_count, len(active), time.perf_counter() - t0,
         )
-        groups = [idx[km.assignments == c] for c in range(k)]
-        if balance_weight > 0.0:
-            groups = _rebalance(sub, idx, groups, km.centroids, balance_weight)
-        for g in groups:
-            if g.size:
-                active.append(g)
 
     centroids = np.stack([data[m].mean(axis=0) for m in final]).astype(np.float32)
     return ClusterSet(members=final, centroids=centroids)

@@ -12,7 +12,10 @@ class ScalarPrecision(enum.Enum):
     """Centroid storage precision (``mstg/config.rs:6-35``).
 
     The reference only implements FP32/BF16 and panics on FP16/INT8
-    (``mstg/hnsw.rs:40-52``); all four work here.
+    (``mstg/hnsw.rs:40-52``); all four are REAL here: centroids are
+    rounded through the precision at build time and the rounded values
+    drive the residual base, centroid scoring and the persisted bytes
+    (``index/mstg/scalar_quant.py``).
     """
 
     FP32 = "fp32"

@@ -45,7 +45,10 @@ from .closure import closure_assign
 from .metadata import PostingListDirectory
 
 _MAGIC = b"MSTG"
-_VERSION = 1002  # distinct from the reference's bincode-v1 multi-file format
+# native single-file format (distinct from the reference's bincode-v1
+# multi-file format); v1003 stores centroids in their configured scalar
+# precision (bf16 bits / fp16 halves / int8+scale) instead of always f32
+_VERSION = 1003
 
 
 @dataclass
@@ -61,6 +64,11 @@ class MstgHost:
     ids: np.ndarray  # [R] int64 original vector id per row
     list_offsets: np.ndarray  # [C+1] row ranges per posting list
     centroids: np.ndarray  # [C, dim] f32
+    # MSTG's own scan zeroes f_error (mstg/index.rs:285), but the reference
+    # SERIALIZES both per vector (quantizer.rs:82-86) — kept for the
+    # reference-format writer (None on legacy loads -> written as zeros)
+    f_error: np.ndarray | None = None
+    residual_norm: np.ndarray | None = None
 
 
 class MstgIndex:
@@ -143,10 +151,22 @@ class MstgIndex:
                 data_dev=data_dev,
             )
 
-        raw_centroids = centroids  # unrotated copy for the exact t sweep
-        if rotator is not None:
-            centroids = np.asarray(
-                jax.jit(rotator.rotate)(jnp.asarray(centroids))
+        # Real scalar quantization (mstg/scalar_quant.rs:69-86): round the
+        # STORED centroids through the configured precision, so the
+        # residual base, the centroid scoring operands and the persisted
+        # bytes are all the same (exactly representable) values.
+        from .scalar_quant import apply_centroid_precision
+
+        if rotator is None:
+            centroids = apply_centroid_precision(
+                centroids, config.centroid_precision
+            )
+            raw_centroids = centroids  # quantized == the residual base
+        else:
+            raw_centroids = centroids  # unrotated, for the exact t sweep
+            centroids = apply_centroid_precision(
+                np.asarray(jax.jit(rotator.rotate)(jnp.asarray(centroids))),
+                config.centroid_precision,
             )
 
         # Step 3: per-posting-list residual quantization (original space,
@@ -198,6 +218,8 @@ class MstgIndex:
             ids=ids,
             list_offsets=offsets,
             centroids=centroids,
+            f_error=codes["f_error"],
+            residual_norm=codes["residual_norm"],
         )
         return cls(config, orig_dim, host, scan_dtype, rotator=rotator)
 
@@ -237,6 +259,62 @@ class MstgIndex:
 
         return "sorted" if is_fused(self.scan_dtype) else "perm"
 
+    def _maybe_downgrade_fused(self) -> None:
+        """Small posting lists (< TN/128 rows on average) exceed the fused
+        kernel's 128-cluster tile window; fall back to the dense path."""
+        from ..scan import is_fused
+
+        if not is_fused(self.scan_dtype):
+            return
+        key = id(self.host.list_offsets)
+        cache = getattr(self, "_fused_ok_cache", None)
+        if cache is None or cache[0] != key:
+            from ...ops.pallas_fused_scan import fused_geometry_ok
+
+            cache = (key, fused_geometry_ok(np.diff(self.host.list_offsets)))
+            self._fused_ok_cache = cache
+        if not cache[1]:
+            from ...utils.logging import get_logger
+
+            get_logger("mstg").warning(
+                "posting-list geometry too fine for scan_dtype=%r; "
+                "falling back to bf16",
+                self.scan_dtype,
+            )
+            self.scan_dtype = "bf16"
+
+    def _fused_max_tiles(self, ef_search, batch: int | None = None) -> int | None:
+        """Probed-tile compaction budget (see IvfRabitqIndex._fused_max_tiles);
+        ef_search plays nprobe and posting lists play clusters."""
+        from ..scan import is_fused
+
+        if not is_fused(self.scan_dtype) or not isinstance(
+            ef_search, (int, np.integer)
+        ):
+            return None
+        import os
+
+        if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
+            return None
+        from ...ops.pallas_fused_scan import TB, TN, probed_tile_bound
+        from ..layout import pad_rows
+
+        bt = TB if batch is None else min(TB, ((int(batch) + 31) // 32) * 32)
+        key = (id(self.host.list_offsets), int(ef_search), bt)
+        cache = getattr(self, "_max_tiles_cache", None)
+        if cache is None:
+            cache = self._max_tiles_cache = {}
+        if key not in cache:
+            n_tiles = pad_rows(self.total_rows, TN) // TN
+            bound = probed_tile_bound(
+                np.diff(self.host.list_offsets), int(ef_search), batch_tile=bt
+            )
+            if bound >= n_tiles:
+                cache[key] = None  # every tile needed: dense walk
+            else:
+                cache[key] = min(1 << (bound - 1).bit_length(), n_tiles)
+        return cache[key]
+
     @property
     def device(self):
         if self._device is not None and getattr(self, "_device_mode", None) != self._layout_mode():
@@ -251,7 +329,13 @@ class MstgIndex:
             if self._layout_mode() == "sorted":
                 from ...ops.pallas_fused_scan import TN
 
-                kwargs = {"permute": False, "row_pad": TN}
+                # refinement off -> stage 2 re-scores with the 1-bit
+                # estimator, which reads the dense binary plane
+                kwargs = {
+                    "permute": False,
+                    "row_pad": TN,
+                    "keep_binary": not self.config.refine_ex,
+                }
             self._device = assemble_device_layout(
                 n=self.total_rows,
                 ex_bits=self.config.rabitq_bits - 1,
@@ -289,6 +373,7 @@ class MstgIndex:
         if params.top_k <= 0:
             return [[] for _ in range(b)]
 
+        self._maybe_downgrade_fused()
         dev = self.device
         packed = None
         fused_cblk = None
@@ -296,16 +381,19 @@ class MstgIndex:
 
         if self.scan_dtype == "packed" or is_fused(self.scan_dtype):
             if getattr(self, "_packed", None) is None:
-                from ...ops.pallas_scan import pack_bitplanes
+                if dev.packed is not None:  # fused layouts pre-pack
+                    self._packed = dev.packed
+                else:
+                    from ...ops.pallas_scan import pack_bitplanes
 
-                self._packed = pack_bitplanes(dev.binary, self.quant_dim)
+                    self._packed = pack_bitplanes(dev.binary, self.quant_dim)
             packed = self._packed
         if is_fused(self.scan_dtype):
             if getattr(self, "_fused_cblk", None) is None:
                 from ...ops.pallas_fused_scan import tile_cluster_blocks
                 from ..layout import cluster_of_rows
 
-                n_pad = int(dev.binary.shape[0])
+                n_pad = int(dev.ids.shape[0])
                 cl = cluster_of_rows(np.diff(self.host.list_offsets), n_pad)
                 valid = np.arange(n_pad) < self.total_rows
                 self._fused_cblk = jnp.asarray(tile_cluster_blocks(cl, valid))
@@ -344,6 +432,7 @@ class MstgIndex:
             clamp_l2=True,
             centroid_select_l2=True,
             approx_topk=self.approx_topk,
+            max_tiles=self._fused_max_tiles(params.ef_search, batch=b_pad),
         )
         ids, dists = jax.device_get((ids, dists))  # one fetch round trip
         ids = ids[:b]
@@ -374,12 +463,94 @@ class MstgIndex:
             )
         return out
 
+    def search_with_diagnostics(
+        self, query: np.ndarray, params: MstgSearchParams
+    ) -> tuple[list[SearchResult], "SearchDiagnostics"]:
+        """Search plus counters measured inside the scan kernel (fused:
+        in-Pallas counters; dense: mask sums). ``estimated + skipped``
+        equals the rows actually offered — comparing it against the sum of
+        the top-ef posting-list sizes reveals whether ε-pruning binds
+        (``mstg/index.rs:349-362``): when it does, fewer lists than ef are
+        probed and the offered-row count drops below that sum.
+        """
+        from ...types import SearchDiagnostics
+
+        self._maybe_downgrade_fused()
+        dev = self.device
+        packed = None
+        fused_cblk = None
+        from ..scan import is_fused
+
+        if is_fused(self.scan_dtype):
+            if getattr(self, "_packed", None) is None:
+                self._packed = dev.packed
+            packed = self._packed
+            if getattr(self, "_fused_cblk", None) is None:
+                from ...ops.pallas_fused_scan import tile_cluster_blocks
+                from ..layout import cluster_of_rows
+
+                n_pad = int(dev.ids.shape[0])
+                cl = cluster_of_rows(np.diff(self.host.list_offsets), n_pad)
+                valid = np.arange(n_pad) < self.total_rows
+                self._fused_cblk = jnp.asarray(tile_cluster_blocks(cl, valid))
+            fused_cblk = self._fused_cblk
+        q = np.zeros((1, self.dim), np.float32)
+        q[0] = np.asarray(query, np.float32)
+        ex_bits = self.config.rabitq_bits - 1
+        ids, dists, diag = self._fused_scan(
+            q,
+            dev.centroids,
+            *dev.scan_args(),
+            nprobe=jnp.int32(params.ef_search),
+            prune_epsilon=jnp.float32(params.pruning_epsilon),
+            packed=packed,
+            fused_cblk=fused_cblk,
+            top_k=params.top_k,
+            rerank=params.resolved_rerank(),
+            metric=self.config.metric,
+            ex_bits=ex_bits,
+            scan_dtype=self.scan_dtype,
+            use_prune_epsilon=True,
+            refine_ex=self.config.refine_ex,
+            clamp_l2=True,
+            centroid_select_l2=True,
+            approx_topk=self.approx_topk,
+            with_diagnostics=True,
+            max_tiles=self._fused_max_tiles(params.ef_search, batch=1),
+        )
+        ids, dists, diag = jax.device_get((ids, dists, diag))
+        sign = 1.0 if self.config.metric is Metric.L2 else -1.0
+        results = [
+            SearchResult(id=int(i), score=sign * float(dd))
+            for i, dd in zip(ids[0], dists[0])
+            if i >= 0 and np.isfinite(dd)
+        ][: params.top_k]
+        d = diag[0]
+        return results, SearchDiagnostics(
+            estimated=int(d[0]),
+            skipped_by_lower_bound=int(d[1]),
+            extended_evaluations=int(d[2]),
+        )
+
     # ------------------------------------------------------------------
     # persistence (single-file TPU format; the reference's multi-file
     # bincode + hnsw_rs graph dumps are Rust-runtime-specific)
     # ------------------------------------------------------------------
 
-    def save_to_path(self, path) -> None:
+    def save_to_path(self, path, format: str = "native") -> None:
+        """Persist the index. ``format="native"`` writes the single-file
+        v1003 format; ``format="reference"`` writes the reference's
+        bincode v1 ``.mstg`` body (``mstg/io.rs:82-126``) readable by the
+        reference's ``load_main_index`` — see
+        :func:`ref_io.save_reference_mstg` for the hnsw side-file caveat.
+        """
+        if format == "reference":
+            from .ref_io import save_reference_mstg
+
+            save_reference_mstg(self, path)
+            return
+        if format != "native":
+            raise InvalidConfig(f"unknown MSTG save format {format!r}")
         h = self.host
         cfg = self.config
         n_lists = self.posting_list_count()
@@ -422,7 +593,21 @@ class MstgIndex:
             w(struct.pack("<Q", len(rot_blob)))
             w(rot_blob)
             w(struct.pack("<QQ", n_lists, r))
-            w(h.centroids.astype("<f4").tobytes())
+            # centroid block in the configured precision; build already
+            # rounded h.centroids through it, so quantization here is
+            # lossless and save/load round-trips byte-exactly
+            from .scalar_quant import quantize_centroids
+
+            stored, _ = quantize_centroids(h.centroids, cfg.centroid_precision)
+            if cfg.centroid_precision is ScalarPrecision.INT8:
+                w(stored["scale"].astype("<f4").tobytes())
+                w(stored["data"].astype("<i1").tobytes())
+            elif cfg.centroid_precision is ScalarPrecision.BF16:
+                w(stored["data"].astype("<u2").tobytes())
+            elif cfg.centroid_precision is ScalarPrecision.FP16:
+                w(stored["data"].astype("<f2").tobytes())
+            else:
+                w(stored["data"].astype("<f4").tobytes())
             w(h.list_offsets.astype("<u8").tobytes())
             w(h.ids.astype("<u8").tobytes())
             w(packing.pack_binary(h.binary_bits).tobytes())
@@ -430,6 +615,12 @@ class MstgIndex:
                 w(packing.pack_ex_generic(h.ex_codes, ex_bits).tobytes())
             for name in ("f_add", "f_rescale", "f_add_ex", "f_rescale_ex", "delta", "vl"):
                 w(getattr(h, name).astype("<f4").tobytes())
+            # v1003: f_error + residual_norm round-trip (the scan zeroes
+            # f_error, but the reference-format writer needs the real ones)
+            for name in ("f_error", "residual_norm"):
+                v = getattr(h, name)
+                v = np.zeros(r, np.float32) if v is None else v
+                w(v.astype("<f4").tobytes())
             w(struct.pack("<I", crc), hashed=False)
 
     @classmethod
@@ -447,11 +638,11 @@ class MstgIndex:
             from .ref_io import load_reference_mstg
 
             return load_reference_mstg(path, scan_dtype=scan_dtype)
-        if version not in (1001, _VERSION):
+        if version not in (1001, 1002, _VERSION):
             raise InvalidPersistence(
                 f"unsupported MSTG format version {version} (supported: the "
-                "native v1001/v1002 single-file format and the reference's "
-                "bincode v1 multi-file format)"
+                "native v1001/v1002/v1003 single-file formats and the "
+                "reference's bincode v1 multi-file format)"
             )
         stored_crc = struct.unpack("<I", data[-4:])[0]
         if zlib.crc32(data[8:-4]) != stored_crc:
@@ -499,7 +690,27 @@ class MstgIndex:
 
             rotator = FhtKacRotator.deserialize(dim, quant_dim, rot_blob)
         ex_bits = rabitq_bits - 1
-        centroids = cur.f32s(n_lists * quant_dim).reshape(n_lists, quant_dim)
+        prec = cfg.centroid_precision
+        if version >= 1003 and prec is not ScalarPrecision.FP32:
+            from .scalar_quant import dequantize_centroids
+
+            stored = {}
+            if prec is ScalarPrecision.INT8:
+                stored["scale"] = cur.f32s(n_lists)
+                stored["data"] = (
+                    cur.bytes_np(n_lists * quant_dim)
+                    .view(np.int8)
+                    .reshape(n_lists, quant_dim)
+                )
+            else:  # BF16 bits / FP16 halves: 2 bytes per dim
+                raw = cur.bytes_np(2 * n_lists * quant_dim)
+                dt = "<u2" if prec is ScalarPrecision.BF16 else "<f2"
+                stored["data"] = (
+                    np.frombuffer(raw.tobytes(), dt).reshape(n_lists, quant_dim)
+                )
+            centroids = dequantize_centroids(stored, prec)
+        else:
+            centroids = cur.f32s(n_lists * quant_dim).reshape(n_lists, quant_dim)
         offsets = cur.u64s(n_lists + 1).astype(np.int64)
         ids = cur.u64s(r).astype(np.int64)
         bin_len = (quant_dim + 7) // 8
@@ -516,6 +727,9 @@ class MstgIndex:
         fields = {}
         for name in ("f_add", "f_rescale", "f_add_ex", "f_rescale_ex", "delta", "vl"):
             fields[name] = cur.f32s(r)
+        if version >= 1003:
+            for name in ("f_error", "residual_norm"):
+                fields[name] = cur.f32s(r)
         host = MstgHost(
             binary_bits=binary,
             ex_codes=ex,

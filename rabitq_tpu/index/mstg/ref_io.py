@@ -14,10 +14,13 @@ enum variant indices, 1-byte bools and Option tags. Struct field orders
 follow ``mstg/config.rs:38-62``, ``mstg/posting_list.rs:6-32`` and
 ``quantizer.rs:60-88`` (``#[serde(skip)]`` fields absent).
 
-This reader is one-way: the native single-file MSTG v1002 format remains
-the write format (the reference cannot read v1002 either; the formats
-are versioned apart and the smart loaders on both sides reject the
-other's version tag rather than misparse it).
+Both directions are supported: :func:`load_reference_mstg` parses
+reference-written files, and :func:`save_reference_mstg` emits a
+byte-compatible bincode v1 body (the hnsw_rs graph dump side-files are
+NOT produced — see the writer's docstring). The native single-file
+v1003 format remains the default write format; the two formats are
+versioned apart and the smart loaders on both sides reject the other's
+version tag rather than misparse it.
 """
 
 from __future__ import annotations
@@ -233,5 +236,199 @@ def load_reference_mstg(path, scan_dtype: str = "bf16"):
         ids=np.concatenate([l[2] for l in lists]),
         list_offsets=offsets,
         centroids=np.stack([l[1] for l in lists]),
+        f_error=np.concatenate([l[4]["f_error"] for l in lists]),
+        residual_norm=np.concatenate([l[4]["residual_norm"] for l in lists]),
     )
     return MstgIndex(cfg, dim, host, scan_dtype=scan_dtype)
+
+
+# ---------------------------------------------------------------------------
+# writer (the inverse of the parser above; mstg/io.rs:82-126,129-172)
+# ---------------------------------------------------------------------------
+
+
+class _BincodeWriter:
+    """bincode 1.3 legacy encoder (little-endian, fixed-width ints)."""
+
+    def __init__(self):
+        import io
+
+        self.buf = io.BytesIO()
+
+    def u8(self, v: int):
+        self.buf.write(struct.pack("<B", v))
+
+    def u32(self, v: int):
+        self.buf.write(struct.pack("<I", v))
+
+    def u64(self, v: int):
+        self.buf.write(struct.pack("<Q", v))
+
+    def f32(self, v: float):
+        self.buf.write(struct.pack("<f", float(v)))
+
+    def boolean(self, v: bool):
+        self.u8(1 if v else 0)
+
+    def option_f32(self, v: float | None):
+        if v is None:
+            self.u8(0)
+        else:
+            self.u8(1)
+            self.f32(v)
+
+    def vec_u8(self, a: np.ndarray):
+        a = np.ascontiguousarray(a, np.uint8)
+        self.u64(a.shape[0])
+        self.buf.write(a.tobytes())
+
+    def vec_u16(self, a: np.ndarray):
+        a = np.ascontiguousarray(a).astype("<u2")
+        self.u64(a.shape[0])
+        self.buf.write(a.tobytes())
+
+    def vec_f32(self, a: np.ndarray):
+        a = np.ascontiguousarray(a).astype("<f4")
+        self.u64(a.shape[0])
+        self.buf.write(a.tobytes())
+
+    def bytes_value(self) -> bytes:
+        return self.buf.getvalue()
+
+
+def _encode_config(cfg) -> bytes:
+    """Inverse of ``_parse_config`` (MstgConfig field order,
+    mstg/config.rs:38-62)."""
+    from .config import ScalarPrecision
+
+    w = _BincodeWriter()
+    w.u64(cfg.max_posting_size)
+    w.u64(cfg.branching_factor)
+    w.f32(cfg.balance_weight)
+    w.f32(cfg.closure_epsilon)
+    w.u64(cfg.max_replicas)
+    w.u64(cfg.rabitq_bits)
+    w.boolean(cfg.faster_config)
+    w.u32(cfg.metric.to_tag())
+    w.u64(cfg.hnsw_m)
+    w.u64(cfg.hnsw_ef_construction)
+    w.u32(list(ScalarPrecision).index(cfg.centroid_precision))
+    w.u64(cfg.default_ef_search)
+    w.f32(cfg.pruning_epsilon)
+    return w.bytes_value()
+
+
+def _encode_posting_list(
+    cluster_id: int,
+    centroid: np.ndarray,
+    ids: np.ndarray,
+    binary: np.ndarray,  # [n, dim] {0,1}
+    ex: np.ndarray,  # [n, dim] ex codes
+    scalars: dict,  # per-field [n] f32 in QuantizedVector order
+    rabitq_bits: int,
+) -> bytes:
+    """Inverse of ``_parse_posting_list`` (PostingList minus the
+    #[serde(skip)] fields, mstg/posting_list.rs:6-32 +
+    quantizer.rs:63-88)."""
+    from ...ops import packing
+
+    ex_bits = rabitq_bits - 1
+    n, dim = binary.shape
+    w = _BincodeWriter()
+    w.u32(cluster_id)
+    w.vec_f32(centroid)
+    w.u32(n)
+    # RabitqConfig { total_bits: u64, t_const: Option<f32> }; the t_const
+    # value is not retained after build (only search needs the factors),
+    # and the reference's loader never re-quantizes, so None is written
+    w.u64(rabitq_bits)
+    w.option_f32(None)
+    w.u64(n)
+    total = (ex.astype(np.uint16) | (binary.astype(np.uint16) << ex_bits))
+    bin_packed = packing.pack_binary(binary)
+    if ex_bits == 0:
+        # reference allocates dim/16*2 zero bytes for consistency
+        # (quantizer.rs:212-225)
+        ex_packed = np.zeros((n, dim // 16 * 2), np.uint8)
+    else:
+        ex_packed = packing.pack_ex(ex, ex_bits)
+    order = ("delta", "vl", "f_add", "f_rescale", "f_error",
+             "residual_norm", "f_add_ex", "f_rescale_ex")
+    for i in range(n):
+        w.u64(int(ids[i]))
+        w.vec_u16(total[i])
+        w.vec_u8(bin_packed[i])
+        w.vec_u8(ex_packed[i])
+        w.u8(ex_bits)
+        w.u64(dim)
+        for k in order:
+            w.f32(scalars[k][i])
+    return w.bytes_value()
+
+
+def save_reference_mstg(index, path) -> None:
+    """Write the index as a reference-readable bincode v1 ``.mstg`` body
+    (``mstg/io.rs:82-126,129-172``), the inverse of this module's parser.
+
+    LIMITATION (documented in PARITY.md): the reference's
+    ``MstgIndex::load_from_path`` also demands ``{base}.hnsw.graph`` /
+    ``.hnsw.data`` dumps of its hnsw_rs centroid graph and hard-fails
+    without them (``mstg/io.rs:248-324``); those files are an artifact of
+    the Rust hnsw_rs runtime and are not produced here. The ``.mstg`` body
+    itself is byte-compatible: it round-trips through this module's parser
+    and through the reference's ``load_main_index``.
+
+    Raises for rotated indexes (``use_rotator``) — the reference's MSTG
+    quantizes in the original space and has no rotator field to carry.
+    """
+    if getattr(index, "rotator", None) is not None:
+        raise InvalidPersistence(
+            "reference MSTG format cannot represent a rotated index "
+            "(build with use_rotator=False for interop)"
+        )
+    h = index.host
+    cfg = index.config
+    n_lists = index.posting_list_count()
+    zeros = np.zeros(h.ids.shape[0], np.float32)
+    scal_all = {
+        "delta": h.delta,
+        "vl": h.vl,
+        "f_add": h.f_add,
+        "f_rescale": h.f_rescale,
+        "f_error": zeros if h.f_error is None else h.f_error,
+        "residual_norm": zeros if h.residual_norm is None else h.residual_norm,
+        "f_add_ex": h.f_add_ex,
+        "f_rescale_ex": h.f_rescale_ex,
+    }
+
+    body = _BincodeWriter()
+    cfg_bytes = _encode_config(cfg)
+    body.u64(len(cfg_bytes))
+    body.buf.write(cfg_bytes)
+    body.u64(n_lists)  # centroid ids for HNSW reconstruction
+    for i in range(n_lists):
+        body.u32(i)
+    body.u64(n_lists)
+    for i in range(n_lists):
+        s, e = int(h.list_offsets[i]), int(h.list_offsets[i + 1])
+        pl = _encode_posting_list(
+            i,
+            h.centroids[i],
+            h.ids[s:e],
+            h.binary_bits[s:e],
+            h.ex_codes[s:e],
+            {k: v[s:e] for k, v in scal_all.items()},
+            cfg.rabitq_bits,
+        )
+        body.u64(len(pl))
+        body.buf.write(pl)
+
+    blob = body.bytes_value()
+    path = str(path)
+    if not path.endswith(".mstg"):
+        path = path + ".mstg"
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", _REF_VERSION))
+        f.write(blob)
+        f.write(struct.pack("<I", zlib.crc32(blob)))

@@ -133,6 +133,7 @@ _SCAN_STATIC = (
     "approx_topk",
     "approx_recall_target",
     "with_diagnostics",
+    "max_tiles",
 )
 
 
@@ -172,6 +173,7 @@ def scan_kernel(
     approx_topk: bool = True,
     approx_recall_target: float = 0.99,
     with_diagnostics: bool = False,
+    max_tiles: int | None = None,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
@@ -189,7 +191,7 @@ def scan_kernel(
     refinement is off.
     """
     b, d = q_rot.shape
-    n_rows = binary.shape[0]
+    n_rows = ids.shape[0]  # binary may be None (fused + TOTAL refine plane)
     n_clusters = centroids.shape[0]
     nprobe = jnp.clip(jnp.asarray(nprobe, jnp.int32), 1, n_clusters)
     rerank = min(max(rerank, top_k), n_rows)
@@ -222,7 +224,7 @@ def scan_kernel(
     probe_mask = jnp.zeros((b, n_clusters), jnp.bool_)
     probe_mask = probe_mask.at[jnp.arange(b)[:, None], ranked].max(within)
 
-    if is_fused(scan_dtype) and not with_diagnostics:
+    if is_fused(scan_dtype):
         # Fully fused Pallas stage-1 + selection (ops/pallas_fused_scan.py):
         # no [B, N] tensor is ever materialized — the per-cluster g-terms
         # expand in-kernel over cluster-sorted rows and survivors come from
@@ -234,39 +236,66 @@ def scan_kernel(
             "scan_dtype='fused' needs the packed plane and c_blk windows"
         )
         fa_eff = jnp.where(row_allowed, f_add, BIG)
-        cand_idx, cand_ok = fused_select(
-            q_rot,
+        q_in, k1x_in, g_add_in, g_err_in, probe_in = (
+            q_rot, qc.k1x_sum_q, g_add, g_error, probe_mask,
+        )
+        inv = None
+        if max_tiles is not None:
+            # Block-locality sort: queries whose best centroid is the same
+            # land in the same kernel query tile, shrinking each block's
+            # probed-cluster union and therefore its compacted tile list.
+            # Results are inverse-permuted back — per-query output is
+            # order-independent.
+            order = jnp.argsort(ranked[:, 0])
+            inv = jnp.argsort(order)
+            q_in = q_rot[order]
+            k1x_in = qc.k1x_sum_q[order]
+            g_add_in = g_add[order]
+            g_err_in = g_error[order]
+            probe_in = probe_mask[order]
+        cand_idx, cand_ok, probed = fused_select(
+            q_in,
             packed,
             fa_eff,
             f_rescale,
             f_error,
             cluster_of,
-            qc.k1x_sum_q,
-            g_add,
-            g_error,
-            probe_mask,
+            k1x_in,
+            g_add_in,
+            g_err_in,
+            probe_in,
             fused_cblk,
             rerank,
             d,
             int8_stage1=(scan_dtype == "fused8"),
+            max_tiles=max_tiles,
         )
+        if inv is not None:
+            cand_idx = cand_idx[inv]
+            cand_ok = cand_ok[inv]
+            probed = probed[inv]
         rerank = cand_idx.shape[1]
-        return _stage2_rerank(
+        result = _stage2_rerank(
             q_rot, qc, g_add, binary, ex, f_add, f_rescale, f_add_ex,
             f_rescale_ex, cluster_of, ids, cand_idx, cand_ok,
             top_k=top_k, rerank=rerank, metric=metric, ex_bits=ex_bits,
             scan_dtype=scan_dtype, refine_ex=refine_ex, clamp_l2=clamp_l2,
         )
+        if not with_diagnostics:
+            return result
+        # counters measured INSIDE the production kernel: `probed` is the
+        # offered-row count from the bin accumulator (ivf.rs:150-155)
+        survivors = jnp.sum(cand_ok, axis=1, dtype=jnp.int32)
+        extended = (
+            survivors if (ex_bits > 0 and refine_ex) else jnp.zeros_like(survivors)
+        )
+        diag = jnp.stack([survivors, probed - survivors, extended], axis=1)
+        return (*result, diag)
 
     # --- stage 1: dense 1-bit estimate for every row ---
     # bf16 gathers: these [B, Np] planes are pure HBM traffic; g-term
     # magnitudes are distances, so 2^-9 relative rounding is far below the
     # quantization error. The f32 oracle path keeps full precision.
-    # (scan_dtype="fused" lands here only for with_diagnostics — the dense
-    # oracle fallback on the cluster-sorted layout, with exact selection.)
-    if is_fused(scan_dtype):
-        scan_dtype = "bf16"
-        approx_topk = False  # cluster-sorted rows break approx_max_k's bins
     g_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
     g_add_rows = jnp.take(g_add.astype(g_dtype), cluster_of, axis=1)  # [B, Np]
     g_err_rows = jnp.take(g_error.astype(g_dtype), cluster_of, axis=1)
@@ -287,6 +316,7 @@ def scan_kernel(
         lb_f = jnp.where(jnp.isfinite(lb_f), lb_f, -jnp.inf)
         masked_lb = jnp.where(allowed, lb_f, jnp.inf)
     else:
+        assert binary is not None, "dense scan needs the binary plane"
         bdot = _stage1_dots(q_rot, binary, scan_dtype)  # [B, Np]
         est = est_ops.est_1bit(
             f_add[None, :], g_add_rows, f_rescale[None, :], bdot, qc.k1x_sum_q[:, None]
@@ -368,6 +398,7 @@ def _stage2_rerank(
             + jnp.take(f_rescale_ex, cand_idx) * total_term
         )
     elif ex_bits > 0 and refine_ex:
+        assert binary is not None, "two-gather refine needs the binary plane"
         bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
         edot_c = jnp.take(ex, cand_idx, axis=0).astype(jnp.float32)
         edot_c = jnp.einsum("brd,bd->br", edot_c, q_rot)  # may exceed 127: f32
@@ -381,6 +412,7 @@ def _stage2_rerank(
             qc.kbx_sum_q[:, None],
         )
     else:
+        assert binary is not None, "1-bit re-score needs the binary plane"
         bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
         dist = est_ops.est_1bit(
             jnp.take(f_add, cand_idx),

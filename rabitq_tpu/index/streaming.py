@@ -40,6 +40,7 @@ class StreamedIvfIndex:
         # fused chunks stream packed 1-bit planes (8x fewer code bytes on
         # a transfer-bound tier); the "packed" kernel has no chunked
         # variant and falls back to the dense path
+        index._maybe_downgrade_fused()  # degenerate geometry -> dense path
         self._scan_dtype = "bf16" if index.scan_dtype == "packed" else index.scan_dtype
         from .scan import is_fused
 
@@ -77,14 +78,28 @@ class StreamedIvfIndex:
         return len(self._chunks)
 
     def batch_search_arrays(
-        self, queries: np.ndarray, params: SearchParams
+        self,
+        queries: np.ndarray,
+        params: SearchParams,
+        filter_ids: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """``filter_ids`` restricts results to the given vector ids
+        (``ivf.rs:1723-1730`` semantics) — the id mask chunks with the
+        rows (each slab carries its own ids)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = queries.shape[0]
         b_pad = _pad_pow2(b)
         q = np.zeros((b_pad, self.index.dim), np.float32)
         q[:b] = queries
         q_rot = self.index._rotate_jit(jnp.asarray(q))
+
+        allowed = None
+        if filter_ids is not None:
+            from .ivf import allowed_id_table
+
+            allowed = allowed_id_table(
+                filter_ids, int(self.index.host.ids.max(initial=0))
+            )
 
         # Double-buffered pipeline: while chunk i scans, chunk i+1's slab is
         # already in flight on the transfer queue (device_put is async), and
@@ -93,6 +108,12 @@ class StreamedIvfIndex:
         # working set is 2 * chunk_rows); compute overlaps transfer instead
         # of serializing upload -> scan -> download per chunk.
         def _put(chunk):
+            if allowed is not None:
+                ids_np = chunk["ids"]
+                ok = np.zeros(ids_np.shape[0], bool)
+                in_range = (ids_np >= 0) & (ids_np < allowed.shape[0])
+                ok[in_range] = allowed[ids_np[in_range]]
+                chunk = {**chunk, "valid": chunk["valid"] & ok}
             return jax.device_put(chunk)  # pytree of host arrays, async
 
         pending = []
@@ -132,6 +153,12 @@ class StreamedIvfIndex:
                 ex_bits=self.index.ex_bits,
                 scan_dtype=self._scan_dtype,
                 approx_topk=self.index.approx_topk,
+                # chunk tiles are subsets of the global tiles, so the
+                # whole-index bound is safe; clamps to the chunk's tile
+                # count inside fused_select
+                max_tiles=self.index._fused_max_tiles(
+                    params.nprobe, batch=b_pad
+                ),
             )
             pending.append((ids_c, dist_c))
             del cur  # release the consumed slab's HBM before staging i+2
@@ -149,9 +176,12 @@ class StreamedIvfIndex:
         )
 
     def batch_search(
-        self, queries: np.ndarray, params: SearchParams
+        self,
+        queries: np.ndarray,
+        params: SearchParams,
+        filter_ids: np.ndarray | None = None,
     ) -> list[list[SearchResult]]:
-        ids, dists = self.batch_search_arrays(queries, params)
+        ids, dists = self.batch_search_arrays(queries, params, filter_ids)
         out = []
         for row_ids, row_d in zip(ids, dists):
             hits = []

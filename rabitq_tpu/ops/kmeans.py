@@ -83,6 +83,41 @@ def _assign_blocks(data: jax.Array, centroids: jax.Array, block: int):
     return assign.reshape(n), dists.reshape(n)
 
 
+@functools.partial(jax.jit, static_argnames=("block",))
+def _grouped_assign_blocks(
+    data: jax.Array,  # [N, D] (N a multiple of block)
+    centroids: jax.Array,  # [C, D] children of MANY parent clusters
+    cent_group: jax.Array,  # [C] int32 parent-group id per centroid
+    row_group: jax.Array,  # [N] int32 parent-group id per row (-1: not split)
+    block: int,
+):
+    """Group-restricted nearest-centroid assignment: each row only
+    considers centroids whose ``cent_group`` equals its ``row_group``.
+
+    One program assigns EVERY cluster being split this level — the
+    hierarchical-clustering recursion compiles O(levels) programs instead
+    of one ``assign_dataset`` shape per split (each distinct shape costs a
+    10-120 s compile behind the remote-compile tunnel).
+    """
+    n, d = data.shape
+    c_norm = jnp.sum(centroids * centroids, axis=-1)  # [C]
+    ct = centroids.T
+
+    def one_block(args):
+        xb, gb = args
+        dot = jnp.dot(xb, ct, preferred_element_type=jnp.float32)  # [block, C]
+        x_norm = jnp.sum(xb * xb, axis=-1, keepdims=True)
+        dist = jnp.maximum(x_norm + c_norm[None, :] - 2.0 * dot, 0.0)
+        ok = gb[:, None] == cent_group[None, :]
+        dist = jnp.where(ok, dist, jnp.inf)
+        return jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+    blocks = data.reshape(n // block, block, d)
+    gblocks = row_group.reshape(n // block, block)
+    assign = jax.lax.map(one_block, (blocks, gblocks))
+    return assign.reshape(n)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _kmeanspp_init(data: jax.Array, key: jax.Array, k: int, n_valid) -> jax.Array:
     """k-means++ (D^2-weighted) seeding, entirely on device.

@@ -29,10 +29,12 @@ This replaces the reference's per-cluster FastScan loop + live top-k heap
 (lqhl/rabitq-rs ``simd.rs:972-1186``, ``ivf.rs:2045-2057``) with a
 single-pass streaming selection sized for the MXU/VPU.
 
-Tile geometry (v5e, ~16 MB VMEM budget):
-  TB=256 queries x TN=512 rows per step, W=256 cluster window,
-  GROUPS=8 -> L=4096 bins: bins (f32+i32) 8 MB, code tile 64 KB,
-  unpacked bits 1 MB, g windows 256 KB — comfortably inside VMEM.
+Tile geometry (v5e, ~16 MB VMEM budget; defaults hardware-validated in
+BENCHMARKS.md "fused bin geometry"):
+  TB=128 queries x TN=512 rows per step, W=256 cluster window,
+  GROUPS=16 -> L=8192 bins: bins (f32+i32) 8 MB, code tile 64 KB,
+  unpacked bits 1 MB, g windows 128 KB — comfortably inside VMEM.
+  (L=4096 loses ~0.4 recall points at nprobe=16 to survivor collisions.)
 """
 
 from __future__ import annotations
@@ -96,8 +98,57 @@ def _pad_clusters(c: int) -> int:
     return max(W, ((c + 127) // 128) * 128)
 
 
-def _kernel(
-    c_blk_ref,  # scalar prefetch: [N_tiles] int32 window block index
+def fused_geometry_ok(cluster_sizes, row_pad: int = TN) -> bool:
+    """Whether cluster-sorted rows with these per-cluster sizes fit the
+    kernel's <=128-cluster tile windows (i.e. :func:`tile_cluster_blocks`
+    would not raise). Callers use this to fall back to the dense path for
+    degenerate geometries (average cluster < TN/128 rows)."""
+    sizes = np.asarray(cluster_sizes, np.int64)
+    n = int(sizes.sum())
+    n_pad = max(row_pad, ((n + row_pad - 1) // row_pad) * row_pad)
+    cl = np.zeros(n_pad, np.int32)
+    cl[:n] = np.repeat(np.arange(len(sizes), dtype=np.int32), sizes)
+    try:
+        tile_cluster_blocks(cl, np.arange(n_pad) < n)
+        return True
+    except ValueError:
+        return False
+
+
+def probed_tile_bound(
+    cluster_sizes, nprobe: int, batch_tile: int | None = None
+) -> int:
+    """Safe upper bound on how many TN-row tiles one query block can touch.
+
+    A block of ``batch_tile`` queries probing ``nprobe`` clusters each
+    touches at most ``batch_tile * nprobe`` distinct clusters; each cluster
+    c spans a known number of row tiles. The bound is the sum of the
+    largest ``batch_tile * nprobe`` per-cluster tile spans, capped at the
+    total tile count — callers size the compacted tile list with it so no
+    probed tile is ever dropped (ε-pruning and filters only shrink the
+    probed set).
+    """
+    if batch_tile is None:
+        batch_tile = TB
+    sizes = np.asarray(cluster_sizes, np.int64)
+    n = int(sizes.sum())
+    n_pad = max(TN, ((n + TN - 1) // TN) * TN)
+    n_tiles = n_pad // TN
+    off = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=off[1:])
+    spans = np.zeros(len(sizes), np.int64)
+    nonempty = sizes > 0
+    spans[nonempty] = (off[1:][nonempty] - 1) // TN - off[:-1][nonempty] // TN + 1
+    spans = np.sort(spans)[::-1]
+    u = min(len(sizes), batch_tile * max(int(nprobe), 1))
+    # exact tightness: fused_select's needed-test ignores masked rows
+    # (padding/filtered, fa_eff = BIG), so only real probed rows count
+    return int(min(n_tiles, spans[:u].sum()))
+
+
+def _tile_update(
+    t,  # traced int32: ACTUAL row-tile index (grid step under compaction)
+    c_base,  # traced int32: the tile's cluster-window 128-block base
     q_ref,  # [tb, D8] bf16 (or int8-quantized) bit-plane-permuted queries
     qs_ref,  # [1, tb] f32 per-query dequant scale (ones for bf16 queries)
     packed_ref,  # [TN, Db] uint8
@@ -112,14 +163,8 @@ def _kernel(
     g2b_ref,  # [tb, 128] bf16 window halves of g_error
     val_ref,  # out [tb, L] f32 bin minima
     idx_ref,  # out [tb, L] int32 bin argmin rows
+    cnt_ref,  # out [tb, 128] int32 offered-row counters (diagnostics)
 ):
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        val_ref[:] = jnp.full_like(val_ref, BIG)
-        idx_ref[:] = jnp.full_like(idx_ref, -1)
-
     # --- <binary, q> on the MXU over in-VMEM unpacked bit planes ---
     x = packed_ref[:].astype(jnp.int32)  # [TN, Db]
     int8_q = q_ref.dtype == jnp.int8  # static: selects the MXU operand mode
@@ -138,7 +183,7 @@ def _kernel(
         acc = acc.astype(jnp.float32) * qs_ref[0, :][:, None]
 
     # --- g-term expansion: one-hot window matmul (no [B, N] gather) ---
-    loc = cl_ref[0, :] - c_blk_ref[i] * 128  # [TN] in [0, W) for valid rows
+    loc = cl_ref[0, :] - c_base * 128  # [TN] in [0, W) for valid rows
     slot = jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0)
     onehot = slot == loc[None, :]
     sel1 = onehot.astype(jnp.bfloat16)
@@ -161,15 +206,59 @@ def _kernel(
         + gterm
     )
 
-    # --- streaming bin-min update: bin(n) = n mod L, rows n = i*TN + t ---
+    # --- measured diagnostics: rows actually offered to the bins ---
+    # (probed cluster AND unmasked: anything else carries the BIG
+    # sentinel; real lower bounds are distance-sized, nowhere near BIG/2)
     tb = lb.shape[0]
-    new_idx = i * TN + jax.lax.broadcasted_iota(jnp.int32, (tb, TN), 1)
-    off = pl.multiple_of(jax.lax.rem(i, GROUPS) * TN, TN)
+    offered = (lb < BIG / 2).astype(jnp.int32).reshape(tb, TN // 128, 128)
+    cnt_ref[:] = cnt_ref[:] + jnp.sum(offered, axis=1)
+
+    # --- streaming bin-min update: bin(n) = n mod L, rows n = t*TN + u ---
+    new_idx = t * TN + jax.lax.broadcasted_iota(jnp.int32, (tb, TN), 1)
+    off = pl.multiple_of(jax.lax.rem(t, GROUPS) * TN, TN)
     cur = val_ref[:, pl.ds(off, TN)]
     better = lb < cur
     val_ref[:, pl.ds(off, TN)] = jnp.where(better, lb, cur)
     cur_i = idx_ref[:, pl.ds(off, TN)]
     idx_ref[:, pl.ds(off, TN)] = jnp.where(better, new_idx, cur_i)
+
+
+def _kernel(c_blk_ref, *refs):
+    """Dense grid: step i scans row tile i (every tile visited)."""
+    i = pl.program_id(1)
+    val_ref, idx_ref, cnt_ref = refs[-3], refs[-2], refs[-1]
+
+    @pl.when(i == 0)
+    def _():
+        val_ref[:] = jnp.full_like(val_ref, BIG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    _tile_update(i, c_blk_ref[i], *refs)
+
+
+def _kernel_compact(tiles_ref, tcount_ref, c_blk_ref, *refs):
+    """Compacted grid: step s of query block j scans ACTUAL row tile
+    ``tiles_ref[j, s]``. Padding slots repeat the last valid tile (their
+    block index maps resolve identically, so Pallas skips the re-DMA) and
+    are skipped by the ``s < tcount`` guard — stage-1 work scales with the
+    block's probed tiles, not N (the fused analogue of the reference only
+    touching probed clusters, ``ivf.rs:1847-1872``)."""
+    j = pl.program_id(0)
+    s = pl.program_id(1)
+    val_ref, idx_ref, cnt_ref = refs[-3], refs[-2], refs[-1]
+
+    @pl.when(s == 0)
+    def _():
+        val_ref[:] = jnp.full_like(val_ref, BIG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    t = tiles_ref[j, s]
+
+    @pl.when(s < tcount_ref[j])
+    def _():
+        _tile_update(t, c_blk_ref[t], *refs)
 
 
 def fused_bin_scan(
@@ -184,10 +273,20 @@ def fused_bin_scan(
     g2: jax.Array,  # [Bp, C_pad] bf16: g_error
     c_blk: jax.Array,  # [N_tiles] int32 (tile_cluster_blocks)
     q_scale: jax.Array | None = None,  # [Bp] f32 dequant scale (int8 q_perm)
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (bins_val [Bp, L] f32, bins_idx [Bp, L] int32):
+    tiles: jax.Array | None = None,  # [Bp//tb, T] int32 compacted tile lists
+    tcount: jax.Array | None = None,  # [Bp//tb] int32 valid entries per list
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (bins_val [Bp, L] f32, bins_idx [Bp, L] int32,
+    offered [Bp, 128] int32):
     ``bins_val[b, l] = min over rows n == l (mod L) of lb[b, n]`` with
-    argmin rows in ``bins_idx`` (-1 where no row beat the BIG sentinel).
+    argmin rows in ``bins_idx`` (-1 where no row beat the BIG sentinel);
+    ``offered.sum(1)`` counts the rows whose lower bound was actually
+    estimated (probed cluster, unmasked) — measured in-kernel for
+    SearchDiagnostics, not synthesized.
+
+    With ``tiles``/``tcount`` (see :func:`fused_select`) each query block
+    only visits its listed row tiles; unlisted tiles may only contain
+    unprobed/masked rows (value BIG), so the bin minima are unchanged.
     """
     n, db = packed.shape
     bq, d8 = q_perm.shape
@@ -197,49 +296,82 @@ def fused_bin_scan(
     assert bq % tb == 0, (bq, tb)
     n_tiles = n // TN
     l_bins = n_bins()
-    grid = (bq // tb, n_tiles)  # row tiles innermost: bins stay VMEM-resident
+    compact = tiles is not None
+    if compact:
+        assert tiles.shape[0] == bq // tb and tcount is not None
+        grid = (bq // tb, tiles.shape[1])
+        n_prefetch = 3
+        # index maps see (j, s, tiles, tcount, c_blk); the actual row tile
+        # is tiles[j, s] and its cluster window is c_blk[tiles[j, s]]
+        row2 = lambda j, s, t, tc, c: (t[j, s], 0)
+        row1 = lambda j, s, t, tc, c: (0, t[j, s])
+        qrow = lambda j, s, t, tc, c: (j, 0)
+        qcol = lambda j, s, t, tc, c: (0, j)
+        g_lo = lambda j, s, t, tc, c: (j, c[t[j, s]])
+        g_hi = lambda j, s, t, tc, c: (j, c[t[j, s]] + 1)
+        out = lambda j, s, t, tc, c: (j, 0)
+        kernel = _kernel_compact
+        prefetch_args = (tiles.astype(jnp.int32), tcount.astype(jnp.int32), c_blk)
+        work_tiles = tiles.shape[1]
+    else:
+        grid = (bq // tb, n_tiles)  # row tiles innermost: bins stay resident
+        n_prefetch = 1
+        row2 = lambda j, i, c: (i, 0)
+        row1 = lambda j, i, c: (0, i)
+        qrow = lambda j, i, c: (j, 0)
+        qcol = lambda j, i, c: (0, j)
+        g_lo = lambda j, i, c: (j, c[i])
+        g_hi = lambda j, i, c: (j, c[i] + 1)
+        out = lambda j, i, c: (j, 0)
+        kernel = _kernel
+        prefetch_args = (c_blk,)
+        work_tiles = n_tiles
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_prefetch,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, d8), lambda j, i, c: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb), lambda j, i, c: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, db), lambda j, i, c: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda j, i, c: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb), lambda j, i, c: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, d8), qrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), qcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, db), row2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), qcol, memory_space=pltpu.VMEM),
             # cluster-window half-blocks: the scalar-prefetched c_blk drives
             # the index maps (128-block units), so only the tile's <=W-wide
             # window is resident — never the full [B, C] planes
-            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i] + 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 128), lambda j, i, c: (j, c[i] + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), g_lo, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), g_hi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), g_lo, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), g_hi, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tb, l_bins), lambda j, i, c: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, l_bins), lambda j, i, c: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, l_bins), out, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, l_bins), out, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), out, memory_space=pltpu.VMEM),
         ],
     )
     interpret = jax.default_backend() == "cpu"
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bq, l_bins), jnp.float32),
             jax.ShapeDtypeStruct((bq, l_bins), jnp.int32),
+            jax.ShapeDtypeStruct((bq, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bq * n * (d8 + 2 * W),
-            bytes_accessed=(bq // tb) * n * db + bq * d8 * 2 + 2 * bq * l_bins * 4,
+            flops=2 * bq * work_tiles * TN * (d8 + 2 * W),
+            bytes_accessed=(bq // tb) * work_tiles * TN * db
+            + bq * d8 * 2
+            + 2 * bq * l_bins * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(
-        c_blk,
+        *prefetch_args,
         q_perm,
         (jnp.ones((bq,), jnp.float32) if q_scale is None else q_scale).reshape(1, bq),
         packed,
@@ -270,16 +402,31 @@ def fused_select(
     rerank: int,
     padded_dim: int,
     int8_stage1: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    max_tiles: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Stage-1 + survivor selection. Returns (cand_idx [Bp, R] int32,
-    cand_ok [Bp, R] bool) for the shared stage-2 re-rank.
+    cand_ok [Bp, R] bool, probed [Bp] int32 measured offered-row counts)
+    for the shared stage-2 re-rank.
 
     ``int8_stage1`` quantizes the permuted query symmetrically per row and
     runs the stage-1 dot as int8 x int8 -> int32 (2x MXU throughput) — the
     fused twin of the dense path's ``scan_dtype="int8"``; codes are {0,1}
-    so only the query rounds."""
+    so only the query rounds.
+
+    ``max_tiles`` enables probed-tile compaction: per query block, the
+    union of probed clusters maps to the row tiles containing their
+    unmasked rows, compacted into a scalar-prefetched tile list of static
+    length ``max_tiles``; the kernel grid walks that list instead of all
+    N/TN tiles. ``max_tiles`` MUST upper-bound the per-block tile count
+    (see :func:`probed_tile_bound`) or probed tiles would be dropped."""
     b = q_rot.shape[0]
-    b_pad = ((b + 31) // 32) * 32  # int8/bf16 sublane-aligned query tiles
+    # Pad the batch to a whole number of query tiles: tb is capped at TB,
+    # so b_pad must be a multiple of min(TB, ceil32(b)) — padding only to
+    # a multiple of 32 crashed fused_bin_scan's bq % tb == 0 assertion for
+    # batches like 300 (ceil32 = 320, not a multiple of TB=128).
+    assert TB % 32 == 0, TB
+    tb = min(TB, ((b + 31) // 32) * 32)
+    b_pad = ((b + tb - 1) // tb) * tb
     if b_pad != b:
         pad = ((0, b_pad - b), (0, 0))
         q_rot = jnp.pad(q_rot, pad)
@@ -301,7 +448,51 @@ def fused_select(
         q_perm = jnp.clip(
             jnp.round(qf / q_scale[:, None]), -127, 127
         ).astype(jnp.int8)
-    bins_val, bins_idx = fused_bin_scan(
+
+    n_tiles = packed.shape[0] // TN
+    tb = min(TB, b_pad)
+    tiles = tcount = None
+    if max_tiles is not None and 0 < max_tiles < n_tiles:
+        # --- probed-tile compaction ---
+        # Per-tile cluster range over UNMASKED rows only (masked rows have
+        # fa_eff = BIG and can never survive, so tiles holding only masked
+        # rows — padding tails, fully-filtered tiles — are never needed).
+        masked = fa_eff > BIG / 2
+        sent_lo = jnp.where(masked, jnp.int32(c), cluster_of.astype(jnp.int32))
+        sent_hi = jnp.where(masked, jnp.int32(-1), cluster_of.astype(jnp.int32))
+        lo = jnp.min(sent_lo.reshape(n_tiles, TN), axis=1)  # [T]
+        hi = jnp.max(sent_hi.reshape(n_tiles, TN), axis=1)
+        nb = b_pad // tb
+        block_probe = jnp.any(
+            probe_mask.reshape(nb, tb, c), axis=1
+        )  # [nb, C] union of the block's probed clusters
+        ps = jnp.concatenate(
+            [
+                jnp.zeros((nb, 1), jnp.int32),
+                jnp.cumsum(block_probe.astype(jnp.int32), axis=1),
+            ],
+            axis=1,
+        )  # [nb, C+1]
+        needed = (
+            jnp.take(ps, jnp.clip(hi + 1, 0, c), axis=1)
+            - jnp.take(ps, jnp.clip(lo, 0, c), axis=1)
+        ) > 0  # [nb, T]: any probed cluster intersects the tile's range
+        # needed-first stable compaction; padding slots repeat the last
+        # valid tile so their block DMAs are no-ops in the kernel
+        key = jnp.where(needed, 0, n_tiles).astype(jnp.int32) + jax.lax.iota(
+            jnp.int32, n_tiles
+        )[None, :]
+        order_t = jnp.argsort(key, axis=1)[:, :max_tiles].astype(jnp.int32)
+        tcount = jnp.minimum(
+            jnp.sum(needed, axis=1, dtype=jnp.int32), max_tiles
+        )
+        slot = jnp.minimum(
+            jnp.arange(max_tiles, dtype=jnp.int32)[None, :],
+            jnp.maximum(tcount, 1)[:, None] - 1,
+        )
+        tiles = jnp.take_along_axis(order_t, slot, axis=1)
+
+    bins_val, bins_idx, offered = fused_bin_scan(
         packed,
         q_perm,
         fa_eff,
@@ -313,9 +504,12 @@ def fused_select(
         jnp.asarray(g_err, jnp.bfloat16),
         c_blk,
         q_scale=q_scale,
+        tiles=tiles,
+        tcount=tcount,
     )
     r = min(rerank, n_bins())
     neg_lb, pos = jax.lax.top_k(-bins_val, r)
     cand_idx = jnp.take_along_axis(bins_idx, pos, axis=1)
     cand_ok = (neg_lb > -BIG / 2) & (cand_idx >= 0)
-    return cand_idx[:b], cand_ok[:b]
+    probed = jnp.sum(offered, axis=1, dtype=jnp.int32)
+    return cand_idx[:b], cand_ok[:b], probed[:b]

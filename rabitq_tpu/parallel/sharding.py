@@ -70,6 +70,7 @@ def replicate(mesh: Mesh, *arrays):
         "clamp_l2",
         "centroid_select_l2",
         "approx_topk",
+        "max_tiles",
     ),
 )
 def sharded_scan(
@@ -101,6 +102,7 @@ def sharded_scan(
     clamp_l2: bool = False,
     centroid_select_l2: bool = False,
     approx_topk: bool = True,
+    max_tiles: int | None = None,
 ):
     """Row-sharded batched search over a device mesh.
 
@@ -144,6 +146,10 @@ def sharded_scan(
             clamp_l2=clamp_l2,
             centroid_select_l2=centroid_select_l2,
             approx_topk=approx_topk,
+            # per-shard tile budget: the global bound clamps to the local
+            # tile count inside fused_select (a cluster's in-shard span
+            # never exceeds its global span)
+            max_tiles=max_tiles,
         )
         # candidate merge over ICI: [B, local_k] -> [B, n_dev * local_k]
         all_ids = jax.lax.all_gather(loc_ids, SHARD_AXIS, axis=1, tiled=True)
@@ -294,9 +300,10 @@ class ShardedIvfIndex:
 
         self.index = index
         self.mesh = mesh or make_mesh()
+        index._maybe_downgrade_fused()  # degenerate geometry -> dense path
         dev = index.device
         n_dev = self.mesh.shape[SHARD_AXIS]
-        rows = int(dev.binary.shape[0])
+        rows = int(dev.ids.shape[0])
         self._fused = index.scan_dtype in ("fused", "fused8")
         # pad rows to a multiple of the mesh size (fused: each shard must
         # also be a whole number of TN-row kernel tiles)
@@ -318,7 +325,14 @@ class ShardedIvfIndex:
         ids_np = np.asarray(dev.ids)
         ids_pad = np.full(pad_to, -1, np.int32)
         ids_pad[:rows] = ids_np
-        binary_pad = padded(dev.binary)
+        # fused layouts with a TOTAL refine plane drop the dense binary
+        # plane; the per-shard scan never reads it, so shard a 1-wide
+        # placeholder instead of resurrecting ~1 GB of dead weight
+        binary_pad = (
+            padded(dev.binary)
+            if dev.binary is not None
+            else np.zeros((pad_to, 1), np.int8)
+        )
         valid_pad = padded(dev.valid)
         cluster_pad = padded(dev.cluster_of)
         self._rows = shard_rows(
@@ -337,26 +351,41 @@ class ShardedIvfIndex:
         self._packed = self._cblk = None
         if self._fused:
             from ..ops.pallas_fused_scan import tile_cluster_blocks
-            from ..ops.pallas_scan import pack_bitplanes
 
-            packed = np.asarray(
-                pack_bitplanes(jnp.asarray(binary_pad), index.padded_dim)
-            )
+            if dev.packed is not None:
+                packed = padded(dev.packed)
+            else:
+                from ..ops.pallas_scan import pack_bitplanes
+
+                packed = np.asarray(
+                    pack_bitplanes(jnp.asarray(binary_pad), index.padded_dim)
+                )
             cblk = tile_cluster_blocks(cluster_pad, valid_pad)
             (self._packed, self._cblk) = shard_rows(self.mesh, packed, cblk)
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
+        self._valid_pad = valid_pad  # host copy: filtered search re-shards
 
-    def batch_search_arrays(self, queries, params):
+    def batch_search_arrays(self, queries, params, filter_ids=None):
+        """Row-sharded batched search; ``filter_ids`` restricts results to
+        the given vector ids (``ivf.rs:1723-1730`` semantics) — the row
+        mask shards with the rows."""
         import numpy as np
         import jax.numpy as jnp
 
         queries = np.atleast_2d(np.asarray(queries, np.float32))
+        rows = self._rows
+        if filter_ids is not None:
+            mask = self.index._row_filter(filter_ids)  # device-layout order
+            mask_pad = np.zeros(self._valid_pad.shape[0], bool)
+            mask_pad[: mask.shape[0]] = mask
+            (allowed_sh,) = shard_rows(self.mesh, self._valid_pad & mask_pad)
+            rows = (*rows[:8], allowed_sh, rows[9])
         q_rot = self.index._rotate_jit(jnp.asarray(queries))
         (q_rep,) = replicate(self.mesh, np.asarray(q_rot))
         ids, dists = sharded_scan(
             q_rep,
             self._centroids,
-            *self._rows,
+            *rows,
             packed=self._packed,
             fused_cblk=self._cblk,
             mesh=self.mesh,
@@ -368,6 +397,9 @@ class ShardedIvfIndex:
             # the packed bitplane kernel is not sharded (fall back to dense);
             # the fused kernel IS — each shard scans its own tile-aligned slice
             scan_dtype="bf16" if self.index.scan_dtype == "packed" else self.index.scan_dtype,
+            max_tiles=self.index._fused_max_tiles(
+                params.nprobe, batch=queries.shape[0]
+            ),
         )
         return jax.device_get((ids, dists))
 
@@ -385,9 +417,10 @@ class ShardedMstgIndex:
     def __init__(self, index, mesh: Mesh | None = None):
         self.index = index
         self.mesh = mesh or make_mesh()
+        index._maybe_downgrade_fused()  # degenerate geometry -> dense path
         dev = index.device  # DeviceLayout
         n_dev = self.mesh.shape[SHARD_AXIS]
-        rows = int(dev.binary.shape[0])
+        rows = int(dev.ids.shape[0])
         self._fused = index.scan_dtype in ("fused", "fused8")
         unit = n_dev
         if self._fused:
@@ -404,7 +437,11 @@ class ShardedMstgIndex:
             out[:rows] = x
             return out
 
-        binary_pad = padded(dev.binary)
+        binary_pad = (
+            padded(dev.binary)
+            if dev.binary is not None
+            else np.zeros((pad_to, 1), np.int8)
+        )
         valid_pad = padded(dev.valid)
         cluster_pad = padded(dev.cluster_of)
         self._rows = shard_rows(
@@ -423,11 +460,15 @@ class ShardedMstgIndex:
         self._packed = self._cblk = None
         if self._fused:
             from ..ops.pallas_fused_scan import tile_cluster_blocks
-            from ..ops.pallas_scan import pack_bitplanes
 
-            packed = np.asarray(
-                pack_bitplanes(jnp.asarray(binary_pad), index.quant_dim)
-            )
+            if dev.packed is not None:
+                packed = padded(dev.packed)
+            else:
+                from ..ops.pallas_scan import pack_bitplanes
+
+                packed = np.asarray(
+                    pack_bitplanes(jnp.asarray(binary_pad), index.quant_dim)
+                )
             cblk = tile_cluster_blocks(cluster_pad, valid_pad)
             (self._packed, self._cblk) = shard_rows(self.mesh, packed, cblk)
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
@@ -466,25 +507,33 @@ class ShardedMstgIndex:
             clamp_l2=True,
             centroid_select_l2=True,
             approx_topk=index.approx_topk,
+            max_tiles=index._fused_max_tiles(params.ef_search, batch=b),
         )
         ids, dists = jax.device_get((ids, dists))
+        ids, dists = ids[:b], dists[:b]
+        # Vectorized closure dedup (same scheme as MstgIndex.batch_search:
+        # results arrive best-first, so first occurrence == best replica —
+        # the per-row Python set() loop was the batch path's host
+        # bottleneck and had already been fixed on the single-chip path).
+        valid = (ids >= 0) & np.isfinite(dists)
+        ids_safe = np.where(valid, ids, np.int64(-1))
+        sort_keys = np.argsort(ids_safe, axis=1, kind="stable")
+        sorted_ids = np.take_along_axis(ids_safe, sort_keys, axis=1)
+        first = np.ones_like(sorted_ids, bool)
+        first[:, 1:] = sorted_ids[:, 1:] != sorted_ids[:, :-1]
+        keep = np.zeros_like(valid)
+        np.put_along_axis(keep, sort_keys, first, axis=1)
+        keep &= valid
+        sign = 1.0 if index.config.metric is Metric.L2 else -1.0
         out = []
-        for row_ids, row_d in zip(ids[:b], dists[:b]):
-            seen: set[int] = set()
-            hits = []
-            for i, dd in zip(row_ids, row_d):
-                if i < 0 or not np.isfinite(dd) or int(i) in seen:
-                    continue
-                seen.add(int(i))
-                score = (
-                    float(dd)
-                    if index.config.metric is Metric.L2
-                    else float(-dd)
-                )
-                hits.append(SearchResult(id=int(i), score=score))
-                if len(hits) >= params.top_k:
-                    break
-            out.append(hits)
+        for row_ids, row_d, row_keep in zip(ids, dists, keep):
+            sel = np.nonzero(row_keep)[0][: params.top_k]
+            out.append(
+                [
+                    SearchResult(id=int(row_ids[j]), score=sign * float(row_d[j]))
+                    for j in sel
+                ]
+            )
         return out
 
 

@@ -346,3 +346,21 @@ def test_high_bit_widths(total_bits, rng):
         index.save_to_path(p)
         loaded = IvfRabitqIndex.load_from_path(p, scan_dtype="f32")
         np.testing.assert_array_equal(loaded.host.ex_codes, index.host.ex_codes)
+
+
+def test_streamed_filtered_search(rng):
+    """filter_ids chunks with the rows on the streamed tier."""
+    from rabitq_tpu.index.streaming import StreamedIvfIndex
+
+    data = _dataset(rng, 2000, 64)
+    index = IvfRabitqIndex.train(data, nlist=16, total_bits=7, seed=1)
+    streamed = StreamedIvfIndex(index, chunk_rows=512)
+    allowed = np.arange(300, 700)
+    params = SearchParams(top_k=10, nprobe=16)
+    ids_s, _ = streamed.batch_search_arrays(data[:8], params, filter_ids=allowed)
+    found = set(ids_s.ravel().tolist()) - {-1}
+    assert found and found <= set(allowed.tolist())
+    # matches the in-memory filtered search
+    ids_r, _ = index.batch_search_arrays(data[:8], params, filter_ids=allowed)
+    for i in range(8):
+        assert set(ids_s[i].tolist()) == set(ids_r[i].tolist()), i

@@ -57,7 +57,7 @@ def test_bins_match_dense_reference(rng):
 
     packed = pack_bitplanes(jnp.asarray(binary), d)
     q_perm = permute_query(jnp.asarray(q), d)
-    vals, idxs = fused_bin_scan(
+    vals, idxs, offered = fused_bin_scan(
         packed,
         q_perm,
         jnp.asarray(f_add),
@@ -70,6 +70,9 @@ def test_bins_match_dense_reference(rng):
         jnp.asarray(c_blk),
     )
     vals, idxs = np.asarray(vals), np.asarray(idxs)
+    # measured offered-row counters == rows in probed clusters
+    probed_rows = probe[:, cluster_of].sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(offered).sum(axis=1), probed_rows)
 
     # dense reference with the SAME precision choices (bf16 g-planes)
     g1_bf = g1.astype(jnp.bfloat16).astype(np.float32)
@@ -237,13 +240,150 @@ def test_fused8_matches_fused(rng):
     assert overlap >= 0.95, overlap
 
 
-def test_fused_diagnostics_falls_back(rng):
-    """search_with_diagnostics works on a fused index (dense fallback)."""
+def test_fused_diagnostics_measured_in_kernel(rng):
+    """search_with_diagnostics on a fused index reports counters measured
+    INSIDE the production Pallas kernel (no dense-oracle reroute): probed
+    rows must equal estimated + skipped, and probed must match an
+    independent host count of the rows in probed clusters."""
     data = rng.normal(size=(1500, 64)).astype(np.float32)
     index = IvfRabitqIndex.train(data, nlist=6, total_bits=7, seed=9,
                                  scan_dtype="fused")
-    res, diag = index.search_with_diagnostics(
-        data[0], SearchParams(top_k=10, nprobe=3)
-    )
+    params = SearchParams(top_k=10, nprobe=3)
+    res, diag = index.search_with_diagnostics(data[0], params)
     assert res and res[0].id == 0
     assert diag.estimated > 0
+    assert diag.extended_evaluations == diag.estimated  # survivors re-ranked
+    # independent host count: rank clusters for this query, sum the sizes
+    # of the top-nprobe (the kernel's offered-row counter must agree)
+    q_rot = np.asarray(index._rotate_jit(np.asarray(data[:1], np.float32)))[0]
+    cents = index._centroids_np
+    d2 = ((cents - q_rot) ** 2).sum(axis=1)
+    probed_clusters = np.argsort(d2)[:3]
+    sizes = np.diff(index._offsets)
+    expect_probed = int(sizes[probed_clusters].sum())
+    assert diag.estimated + diag.skipped_by_lower_bound == expect_probed
+
+
+def test_fused_degenerate_geometry_falls_back(rng):
+    """Average cluster smaller than TN/128 rows cannot satisfy the fused
+    kernel's 128-cluster tile window; the index must warn and serve via
+    the dense path instead of raising at cblk construction."""
+    n, dim = 1024, 32
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    # nlist=512 over 1024 rows: ~2-row clusters, far below TN/128 = 4
+    index = IvfRabitqIndex.train(
+        data, nlist=512, total_bits=3, seed=3, scan_dtype="fused"
+    )
+    ids, _ = index.batch_search_arrays(data[:4], SearchParams(top_k=3, nprobe=512))
+    assert index.scan_dtype == "bf16"  # downgraded, not crashed
+    assert all(ids[i][0] == i for i in range(4))
+
+
+def test_compacted_tiles_match_dense(rng):
+    """fused_select with a probed-tile budget must return exactly the
+    dense walk's survivors: unlisted tiles contain only BIG-masked rows."""
+    from rabitq_tpu.ops.pallas_fused_scan import fused_select
+
+    c, rows_per = 64, 256  # 2 clusters per TN=512 tile, span <= 2
+    n = c * rows_per
+    d, b = 128, 32
+    binary = rng.integers(0, 2, (n, d)).astype(np.int8)
+    f_add = rng.normal(size=n).astype(np.float32)
+    f_rescale = rng.normal(size=n).astype(np.float32)
+    f_error = np.abs(rng.normal(size=n)).astype(np.float32)
+    cluster_of = np.repeat(np.arange(c, dtype=np.int32), rows_per)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    k1x = (-0.5 * q.sum(axis=1)).astype(np.float32)
+    g_add = rng.normal(size=(b, c)).astype(np.float32)
+    g_err = np.abs(rng.normal(size=(b, c))).astype(np.float32)
+    # each query probes 2 clusters; the block union is 8 distinct clusters
+    probe = np.zeros((b, c), bool)
+    for i in range(b):
+        probe[i, [i % 4, 32 + i % 4]] = True
+
+    c_blk = tile_cluster_blocks(cluster_of, np.ones(n, bool))
+    packed = pack_bitplanes(jnp.asarray(binary), d)
+
+    def run(max_tiles):
+        idx, ok, _probed = fused_select(
+            jnp.asarray(q),
+            packed,
+            jnp.asarray(f_add),
+            jnp.asarray(f_rescale),
+            jnp.asarray(f_error),
+            jnp.asarray(cluster_of),
+            jnp.asarray(k1x),
+            jnp.asarray(g_add),
+            jnp.asarray(g_err),
+            jnp.asarray(probe),
+            jnp.asarray(c_blk),
+            rerank=64,
+            padded_dim=d,
+            max_tiles=max_tiles,
+        )
+        return np.asarray(idx), np.asarray(ok)
+
+    idx_d, ok_d = run(None)
+    idx_c, ok_c = run(16)  # safe: union spans <= 8 clusters * 2 + tail
+    for row in range(b):
+        assert set(idx_d[row][ok_d[row]].tolist()) == set(
+            idx_c[row][ok_c[row]].tolist()
+        ), row
+
+
+def test_compaction_auto_enables_end_to_end(rng, monkeypatch):
+    """With many tiles and a tiny nprobe the wrapper enables probed-tile
+    compaction automatically; results must match the dense tile walk."""
+    from rabitq_tpu.ops.pallas_fused_scan import TN
+
+    c, rows_per, dim = 160, TN, 32  # 160 tiles, 1 cluster per tile
+    n = c * rows_per
+    centroids = rng.normal(size=(c, dim)).astype(np.float32)
+    assign = np.repeat(np.arange(c), rows_per)
+    data = (
+        centroids[assign] + 0.2 * rng.normal(size=(n, dim))
+    ).astype(np.float32)
+    index = IvfRabitqIndex.train_with_clusters(
+        data, centroids, assign, total_bits=5, seed=3,
+        use_faster_config=True, scan_dtype="fused",
+    )
+    params = SearchParams(top_k=5, nprobe=2)
+    queries = data[::7777][:8].copy()
+    assert index._fused_max_tiles(params.nprobe, batch=8) is not None
+    ids_c, dist_c = index.batch_search_arrays(queries, params)
+
+    monkeypatch.setenv("RABITQ_FUSED_COMPACT", "0")
+    index._max_tiles_cache = {}
+    assert index._fused_max_tiles(params.nprobe, batch=8) is None
+    ids_d, dist_d = index.batch_search_arrays(queries, params)
+    for row in range(len(queries)):
+        assert set(ids_c[row].tolist()) == set(ids_d[row].tolist()), row
+
+
+def test_fused_layout_drops_binary_plane(rng):
+    """Fused layouts with a TOTAL refine plane (1 <= ex_bits <= 6) carry
+    no dense binary plane (stage 1 reads packed bitplanes, stage 2 the
+    total plane); the host download derives binary = total >> ex_bits, so
+    a layout-mode switch round-trips exactly."""
+    data = rng.normal(size=(3000, 96)).astype(np.float32)
+    index = IvfRabitqIndex.train(
+        data, nlist=12, total_bits=7, seed=5, scan_dtype="fused"
+    )
+    dev = index.device
+    assert dev.binary is None and dev.packed is not None
+    params = SearchParams(top_k=10, nprobe=12, rerank=256)
+    ids_f, _ = index.batch_search_arrays(data[:8], params)
+    index.scan_dtype = "bf16"  # host download (binary derived) + rebuild
+    ids_d, _ = index.batch_search_arrays(data[:8], params)
+    overlap = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(ids_f, ids_d)]
+    )
+    assert overlap >= 0.9, overlap
+
+    # the edge bit-widths keep the plane: ex_bits=0 re-scores with the
+    # 1-bit estimator, ex_bits=7 needs the two-gather formula
+    for bits in (1, 8):
+        idx = IvfRabitqIndex.train(
+            data[:1000], nlist=4, total_bits=bits, seed=2, scan_dtype="fused"
+        )
+        assert idx.device.binary is not None, bits

@@ -152,3 +152,38 @@ def test_sharded_mstg_fused_matches_single_chip():
         assert b and b[0].id == i, (i, b[:2])
         overlap = len({h.id for h in a} & {h.id for h in b})
         assert overlap >= 8, (i, overlap)
+
+
+def test_sharded_fused_non_pow2_batch(built):
+    """A batch whose 32-ceiling is not a multiple of the query tile (e.g.
+    300 -> 320) must pad to a whole number of tiles inside fused_select
+    instead of tripping the kernel's bq % tb assertion (round-2 advisor
+    finding)."""
+    rng = np.random.default_rng(8)
+    data = rng.standard_normal((4096, 64)).astype(np.float32)
+    idx = IvfRabitqIndex.train(
+        data, nlist=8, total_bits=7, seed=1, scan_dtype="fused"
+    )
+    mesh = sh.make_mesh(8)
+    sharded = sh.ShardedIvfIndex(idx, mesh)
+    queries = np.concatenate([data] * 1)[:300]
+    params = SearchParams(top_k=5, nprobe=8)
+    ids, dists = sharded.batch_search_arrays(queries, params)
+    assert ids.shape == (300, 5)
+    assert all(ids[i][0] == i for i in range(32))
+
+
+def test_sharded_filtered_search(built):
+    """filter_ids shards with the rows on the sharded tier and matches the
+    single-chip filtered search."""
+    data, index = built
+    mesh = sh.make_mesh(8)
+    sharded = sh.ShardedIvfIndex(index, mesh)
+    allowed = np.arange(100, 400)
+    params = SearchParams(top_k=10, nprobe=8, rerank=512)
+    ids_s, _ = sharded.batch_search_arrays(data[:8], params, filter_ids=allowed)
+    found = set(ids_s.ravel().tolist()) - {-1}
+    assert found and found <= set(allowed.tolist())
+    ids_r, _ = index.batch_search_arrays(data[:8], params, filter_ids=allowed)
+    for i in range(8):
+        assert set(ids_s[i].tolist()) == set(ids_r[i].tolist()), i

@@ -55,6 +55,12 @@ def main():
         print(f"{base} already complete; skipping rewrite", file=sys.stderr)
     else:
         write_fvecs(base, data)
+    # query file checked independently of base: a prior run with a
+    # different --queries count must not leave query/gt inconsistent
+    expected_q = args.queries * (4 + 4 * args.dim)
+    if os.path.exists(qf) and os.path.getsize(qf) == expected_q:
+        print(f"{qf} already complete; skipping rewrite", file=sys.stderr)
+    else:
         write_fvecs(qf, queries)
     print(f"{base} ({os.path.getsize(base)/1e9:.2f} GB), {qf}", file=sys.stderr)
 
