@@ -616,7 +616,12 @@ class IvfRabitqIndex:
 
         if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
             return None
-        from ..ops.pallas_fused_scan import TB, TN, probed_tile_bound
+        from ..ops.pallas_fused_scan import (
+            TB,
+            TN,
+            expected_tile_cost,
+            probed_tile_bound,
+        )
 
         from .layout import pad_rows
 
@@ -629,12 +634,16 @@ class IvfRabitqIndex:
             cache = self._max_tiles_cache = {}
         if key not in cache:
             n_tiles = pad_rows(len(self), TN) // TN
-            bound = probed_tile_bound(
-                np.diff(self._offsets), int(nprobe), batch_tile=bt
-            )
-            if bound >= n_tiles:
-                cache[key] = None  # every tile needed: dense walk
+            sizes = np.diff(self._offsets)
+            # gate on the EXPECTED tile count; size by the SAFE bound
+            # (capped at n_tiles — a full-length needed-first list is
+            # still a win: padding slots repeat the last tile, so skipped
+            # grid steps do no DMA and no compute)
+            exp = expected_tile_cost(sizes, int(nprobe), batch_tile=bt)
+            if exp >= 0.6 * n_tiles:
+                cache[key] = None  # most tiles probed anyway: dense walk
             else:
+                bound = probed_tile_bound(sizes, int(nprobe), batch_tile=bt)
                 cache[key] = min(1 << (bound - 1).bit_length(), n_tiles)
         return cache[key]
 

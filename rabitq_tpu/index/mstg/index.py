@@ -296,7 +296,12 @@ class MstgIndex:
 
         if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
             return None
-        from ...ops.pallas_fused_scan import TB, TN, probed_tile_bound
+        from ...ops.pallas_fused_scan import (
+            TB,
+            TN,
+            expected_tile_cost,
+            probed_tile_bound,
+        )
         from ..layout import pad_rows
 
         bt = TB if batch is None else min(TB, ((int(batch) + 31) // 32) * 32)
@@ -306,12 +311,12 @@ class MstgIndex:
             cache = self._max_tiles_cache = {}
         if key not in cache:
             n_tiles = pad_rows(self.total_rows, TN) // TN
-            bound = probed_tile_bound(
-                np.diff(self.host.list_offsets), int(ef_search), batch_tile=bt
-            )
-            if bound >= n_tiles:
-                cache[key] = None  # every tile needed: dense walk
+            sizes = np.diff(self.host.list_offsets)
+            exp = expected_tile_cost(sizes, int(ef_search), batch_tile=bt)
+            if exp >= 0.6 * n_tiles:
+                cache[key] = None  # most tiles probed anyway: dense walk
             else:
+                bound = probed_tile_bound(sizes, int(ef_search), batch_tile=bt)
                 cache[key] = min(1 << (bound - 1).bit_length(), n_tiles)
         return cache[key]
 

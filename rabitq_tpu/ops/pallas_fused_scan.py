@@ -146,6 +146,31 @@ def probed_tile_bound(
     return int(min(n_tiles, spans[:u].sum()))
 
 
+def expected_tile_cost(
+    cluster_sizes, nprobe: int, batch_tile: int | None = None
+) -> float:
+    """EXPECTED per-block probed-tile count (vs the worst-case
+    :func:`probed_tile_bound`): u uniformly-probed clusters touch about
+    ``u * mean_span`` tiles. Used only to GATE compaction — sizing always
+    uses the safe bound (capped at the tile count, where padding slots are
+    skip-cheap), so an optimistic estimate can cost performance, never
+    recall."""
+    if batch_tile is None:
+        batch_tile = TB
+    sizes = np.asarray(cluster_sizes, np.int64)
+    n = int(sizes.sum())
+    if n == 0 or not len(sizes):
+        return 0.0
+    n_tiles = max(TN, ((n + TN - 1) // TN) * TN) // TN
+    off = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=off[1:])
+    nonempty = sizes > 0
+    spans = np.zeros(len(sizes), np.float64)
+    spans[nonempty] = (off[1:][nonempty] - 1) // TN - off[:-1][nonempty] // TN + 1
+    u = min(len(sizes), batch_tile * max(int(nprobe), 1))
+    return float(min(n_tiles, u * spans[nonempty].mean()))
+
+
 def _tile_update(
     t,  # traced int32: ACTUAL row-tile index (grid step under compaction)
     c_base,  # traced int32: the tile's cluster-window 128-block base
@@ -452,7 +477,7 @@ def fused_select(
     n_tiles = packed.shape[0] // TN
     tb = min(TB, b_pad)
     tiles = tcount = None
-    if max_tiles is not None and 0 < max_tiles < n_tiles:
+    if max_tiles is not None and 0 < max_tiles <= n_tiles:
         # --- probed-tile compaction ---
         # Per-tile cluster range over UNMASKED rows only (masked rows have
         # fa_eff = BIG and can never survive, so tiles holding only masked

@@ -80,21 +80,25 @@ def main():
         f"({args.batch/e2e_s:.0f} QPS)")
 
     # 3) query device-resident: isolates upload cost from dispatch+compute
-    dev = index.device
+    dev, packed, row_allowed = index._scan_inputs(None)
     b_pad = 1 << (args.batch - 1).bit_length()
     q_host = np.zeros((b_pad, args.dim), np.float32)
     q_host[: args.batch] = queries
     q_dev = jax.device_put(q_host)
     q_dev.block_until_ready()
+    max_tiles = index._fused_max_tiles(params.nprobe, batch=b_pad)
+    log(f"max_tiles (probed-tile compaction budget): {max_tiles}")
 
     def run(q):
         ids, dists = index._fused_scan(
             q, dev.centroids, dev.binary, dev.ex, dev.f_add, dev.f_rescale,
             dev.f_error, dev.f_add_ex, dev.f_rescale_ex, dev.cluster_of,
-            dev.valid, dev.ids,
+            row_allowed, dev.ids,
+            packed=packed, fused_cblk=index._fused_cblk,
             top_k=10, nprobe=params.nprobe, rerank=params.resolved_rerank(),
             metric=index.metric, ex_bits=index.ex_bits,
             scan_dtype=index.scan_dtype, approx_topk=index.approx_topk,
+            max_tiles=max_tiles,
         )
         return ids, dists
 
