@@ -36,7 +36,7 @@ from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from ..utils.logging import get_logger, timed
 from .layout import _ROW_PAD, DeviceLayout, assemble_device_layout
-from .scan import ex_plane_is_total, make_fused_search
+from .scan import ex_plane_is_total, make_fused_search, probe_k_bucket
 
 _log = get_logger("ivf")
 
@@ -693,6 +693,7 @@ class IvfRabitqIndex:
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
             max_tiles=self._fused_max_tiles(params.nprobe, batch=q.shape[0]),
+            probe_k=probe_k_bucket(params.nprobe, self.cluster_count()),
         )
 
     def search_with_diagnostics(
@@ -730,6 +731,7 @@ class IvfRabitqIndex:
             approx_topk=self.approx_topk,
             with_diagnostics=True,
             max_tiles=self._fused_max_tiles(params.nprobe, batch=1),
+            probe_k=probe_k_bucket(params.nprobe, self.cluster_count()),
         )
         ids, dists, diag = jax.device_get((ids, dists, diag))
         results = []

@@ -37,7 +37,7 @@ from ...errors import DimensionMismatch, EmptyIndex, InvalidConfig, InvalidPersi
 from ...types import Metric, SearchResult
 from ...ops import packing
 from ...ops.quantize import compute_const_scaling_factor
-from ..scan import make_fused_search
+from ..scan import make_fused_search, probe_k_bucket
 from ..ivf import _pad_pow2
 from .config import MstgConfig, MstgSearchParams, ScalarPrecision
 from .clustering import hierarchical_cluster
@@ -438,6 +438,7 @@ class MstgIndex:
             centroid_select_l2=True,
             approx_topk=self.approx_topk,
             max_tiles=self._fused_max_tiles(params.ef_search, batch=b_pad),
+            probe_k=probe_k_bucket(params.ef_search, self.posting_list_count()),
         )
         ids, dists = jax.device_get((ids, dists))  # one fetch round trip
         ids = ids[:b]
@@ -522,6 +523,7 @@ class MstgIndex:
             approx_topk=self.approx_topk,
             with_diagnostics=True,
             max_tiles=self._fused_max_tiles(params.ef_search, batch=1),
+            probe_k=probe_k_bucket(params.ef_search, self.posting_list_count()),
         )
         ids, dists, diag = jax.device_get((ids, dists, diag))
         sign = 1.0 if self.config.metric is Metric.L2 else -1.0

@@ -27,11 +27,27 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..types import Metric
 from ..ops import estimator as est_ops
+
+
+def probe_k_bucket(nprobe, n_clusters: int) -> int | None:
+    """Static truncated-ranking size for ``scan_kernel``'s ``probe_k``.
+
+    pow2 buckets (bounded recompiles across sweeps); None (full ranking)
+    when nprobe is traced/unknown or close to the cluster count. The
+    bucket is >= nprobe by construction, so truncation never drops a
+    probed cluster."""
+    if not isinstance(nprobe, (int, np.integer)):
+        return None
+    k = max(int(nprobe), 1)
+    if 2 * k >= n_clusters:
+        return None  # ranking nearly everything anyway
+    return min(1 << (k - 1).bit_length(), n_clusters)
 
 
 def is_fused(scan_dtype: str) -> bool:
@@ -134,6 +150,7 @@ _SCAN_STATIC = (
     "approx_recall_target",
     "with_diagnostics",
     "max_tiles",
+    "probe_k",
 )
 
 
@@ -174,6 +191,7 @@ def scan_kernel(
     approx_recall_target: float = 0.99,
     with_diagnostics: bool = False,
     max_tiles: int | None = None,
+    probe_k: int | None = None,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
@@ -200,17 +218,23 @@ def scan_kernel(
     g_add, g_error, sq_dist, cent_dot = est_ops.g_terms(q_rot, centroids, metric)
 
     # --- cluster selection (ivf.rs:1782-1835) ---
-    # Rank all clusters once; mark the first `nprobe` as probed. nprobe is a
-    # traced scalar, so recall/QPS sweeps reuse one compiled program.
+    # Rank the top `k_sel` clusters; mark the first `nprobe` as probed.
+    # nprobe is a traced scalar, so recall/QPS sweeps reuse one compiled
+    # program. `probe_k` (static, wrapper-guaranteed >= nprobe, pow2
+    # buckets) truncates the ranking: a full [B, C] sort was ~half the
+    # measured device batch at the 1M headline point (24.9 of 52 ms) while
+    # nprobe=4 needs only the first handful of ranks.
     if centroid_select_l2 or metric is Metric.L2:
         # MSTG navigates centroids by L2 regardless of the scan metric
         # (mstg/hnsw.rs uses DistL2 unconditionally).
         sel = -sq_dist
     else:
         sel = cent_dot
-    ranked_sel, ranked = jax.lax.top_k(sel, n_clusters)  # [B, C] best-first
+    k_sel = n_clusters if probe_k is None else min(probe_k, n_clusters)
+    nprobe = jnp.minimum(nprobe, k_sel)
+    ranked_sel, ranked = jax.lax.top_k(sel, k_sel)  # [B, k_sel] best-first
     within = jnp.broadcast_to(
-        jnp.arange(n_clusters, dtype=jnp.int32)[None, :] < nprobe, (b, n_clusters)
+        jnp.arange(k_sel, dtype=jnp.int32)[None, :] < nprobe, (b, k_sel)
     )
     if use_prune_epsilon:
         # MSTG dynamic pruning (mstg/index.rs:349-362): keep candidates whose

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..types import Metric, SearchParams, SearchResult
 from .ivf import IvfRabitqIndex, _pad_pow2
 from .layout import assemble_host_chunks
-from .scan import scan_kernel
+from .scan import probe_k_bucket, scan_kernel
 
 
 class StreamedIvfIndex:
@@ -158,6 +158,9 @@ class StreamedIvfIndex:
                 # count inside fused_select
                 max_tiles=self.index._fused_max_tiles(
                     params.nprobe, batch=b_pad
+                ),
+                probe_k=probe_k_bucket(
+                    params.nprobe, self.index.cluster_count()
                 ),
             )
             pending.append((ids_c, dist_c))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..types import Metric
-from ..index.scan import scan_kernel
+from ..index.scan import probe_k_bucket, scan_kernel
 
 SHARD_AXIS = "shard"
 
@@ -71,6 +71,7 @@ def replicate(mesh: Mesh, *arrays):
         "centroid_select_l2",
         "approx_topk",
         "max_tiles",
+        "probe_k",
     ),
 )
 def sharded_scan(
@@ -103,6 +104,7 @@ def sharded_scan(
     centroid_select_l2: bool = False,
     approx_topk: bool = True,
     max_tiles: int | None = None,
+    probe_k: int | None = None,
 ):
     """Row-sharded batched search over a device mesh.
 
@@ -150,6 +152,7 @@ def sharded_scan(
             # tile count inside fused_select (a cluster's in-shard span
             # never exceeds its global span)
             max_tiles=max_tiles,
+            probe_k=probe_k,
         )
         # candidate merge over ICI: [B, local_k] -> [B, n_dev * local_k]
         all_ids = jax.lax.all_gather(loc_ids, SHARD_AXIS, axis=1, tiled=True)
@@ -400,6 +403,7 @@ class ShardedIvfIndex:
             max_tiles=self.index._fused_max_tiles(
                 params.nprobe, batch=queries.shape[0]
             ),
+            probe_k=probe_k_bucket(params.nprobe, self.index.cluster_count()),
         )
         return jax.device_get((ids, dists))
 
@@ -508,6 +512,9 @@ class ShardedMstgIndex:
             centroid_select_l2=True,
             approx_topk=index.approx_topk,
             max_tiles=index._fused_max_tiles(params.ef_search, batch=b),
+            probe_k=probe_k_bucket(
+                params.ef_search, index.posting_list_count()
+            ),
         )
         ids, dists = jax.device_get((ids, dists))
         ids, dists = ids[:b], dists[:b]
