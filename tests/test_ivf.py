@@ -364,3 +364,20 @@ def test_streamed_filtered_search(rng):
     ids_r, _ = index.batch_search_arrays(data[:8], params, filter_ids=allowed)
     for i in range(8):
         assert set(ids_s[i].tolist()) == set(ids_r[i].tolist()), i
+
+
+def test_probe_k_truncation_matches_full_ranking(rng, monkeypatch):
+    """The static truncated centroid ranking (probe_k) must return exactly
+    the full-ranking results — the bucket is >= nprobe, so only
+    never-probed clusters are dropped from the sort."""
+    data = _dataset(rng, 1500, 64)
+    index = IvfRabitqIndex.train(data, nlist=32, total_bits=7, seed=3,
+                                 scan_dtype="f32")
+    params = SearchParams(top_k=10, nprobe=3, rerank=128)
+    ids_t, d_t = index.batch_search_arrays(data[:8], params)  # probe_k=4
+    import rabitq_tpu.index.ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "probe_k_bucket", lambda *a: None)
+    ids_f, d_f = index.batch_search_arrays(data[:8], params)
+    np.testing.assert_array_equal(ids_t, ids_f)
+    np.testing.assert_allclose(d_t, d_f, rtol=1e-6)
