@@ -293,14 +293,16 @@ def main():
                 break
             mp = MstgSearchParams(top_k=args.top_k, ef_search=ef, pruning_epsilon=0.6)
             ids = mstg_run(mp)  # warm-up + recall
-            rec = recall_at_k(ids, gt)
+            # NOTE: local names — `rec`/`qps` still carry the IVF headline
+            # that the final JSON reports.
+            m_rec = recall_at_k(ids, gt)
             t0 = time.time()
             for _ in range(3):
                 mstg_run(mp)
-            qps = args.queries / ((time.time() - t0) / 3)
-            log(f"MSTG ef={ef} eps=0.6: recall={rec:.4f} QPS={qps:.1f}")
-            mstg_rec, mstg_qps, mstg_ef = rec, qps, ef
-            if rec >= args.target_recall:
+            m_qps = args.queries / ((time.time() - t0) / 3)
+            log(f"MSTG ef={ef} eps=0.6: recall={m_rec:.4f} QPS={m_qps:.1f}")
+            mstg_rec, mstg_qps, mstg_ef = m_rec, m_qps, ef
+            if m_rec >= args.target_recall:
                 break
         extra["mstg"] = {
             "build_seconds": round(mstg_build_s, 1),
