@@ -118,18 +118,27 @@ def packed_lb_scan(
     # callers apply the probe/filter mask to the returned lower bounds
     # (masking inside via +inf would poison the bf16 epilogue with NaNs)
 ) -> jax.Array:
-    """Fused stage-1 lower bounds: returns [Bp, Np] bf16."""
+    """Fused stage-1 lower bounds: returns [Bq, Np] bf16."""
     n, db = packed.shape
     bq, d8 = q_perm.shape
     assert n % TN == 0 and db % 128 == 0 and d8 == 8 * db
-    assert bq % TB == 0 or bq < TB, (bq, TB)
+    # Pad the batch to a whole number of query tiles (the sharded wrapper
+    # replicates queries without pow2 padding; single-chip callers pad
+    # upstream, making this a no-op there). Trimmed before returning.
+    b_in = bq
     tb = min(TB, bq)
+    b_pad = ((bq + tb - 1) // tb) * tb
+    if b_pad != bq:
+        q_perm = jnp.pad(q_perm, ((0, b_pad - bq), (0, 0)))
+        k1x = jnp.pad(k1x, ((0, b_pad - bq),))
+        g_comb = jnp.pad(g_comb, ((0, b_pad - bq), (0, 0)))
+        bq = b_pad
     grid = (n // TN, bq // tb)
 
     # interpret mode lets the same code run on CPU (tests / virtual meshes)
     interpret = jax.default_backend() == "cpu"
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _lb_kernel,
         grid=grid,
         in_specs=[
@@ -156,3 +165,4 @@ def packed_lb_scan(
         q_perm,
         g_comb,
     )
+    return out[:b_in]

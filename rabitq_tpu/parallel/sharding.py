@@ -118,6 +118,7 @@ def sharded_scan(
     row_spec = P(SHARD_AXIS)
     row_spec2 = P(SHARD_AXIS, None)
     fused = scan_dtype in ("fused", "fused8")
+    needs_packed = fused or scan_dtype == "packed"
 
     def per_device(q, cents, b, e, fa, fr, fe, fae, fre, cof, allow, idv, peps,
                    *fused_args):
@@ -135,7 +136,7 @@ def sharded_scan(
             allow,
             idv,
             prune_epsilon=peps,
-            packed=fused_args[0] if fused else None,
+            packed=fused_args[0] if needs_packed else None,
             fused_cblk=fused_args[1] if fused else None,
             top_k=local_k,
             nprobe=nprobe,
@@ -190,12 +191,15 @@ def sharded_scan(
         ids,
         jnp.float32(prune_epsilon),
     ]
+    if needs_packed:
+        # packed bitplanes shard with the rows ("packed" and fused paths);
+        # c_blk shards with the row tiles (both leading axes are
+        # row-aligned: rows per shard is a multiple of the kernel's TN)
+        in_specs += [row_spec2]
+        args += [packed]
     if fused:
-        # packed bitplanes shard with the rows; c_blk shards with the row
-        # tiles (both leading axes are row-aligned: rows per shard is a
-        # multiple of the kernel's TN)
-        in_specs += [row_spec2, row_spec]
-        args += [packed, fused_cblk]
+        in_specs += [row_spec]
+        args += [fused_cblk]
     return jax.shard_map(
         per_device,
         mesh=mesh,
@@ -308,13 +312,18 @@ class ShardedIvfIndex:
         n_dev = self.mesh.shape[SHARD_AXIS]
         rows = int(dev.ids.shape[0])
         self._fused = index.scan_dtype in ("fused", "fused8")
-        # pad rows to a multiple of the mesh size (fused: each shard must
-        # also be a whole number of TN-row kernel tiles)
+        self._packed_mode = index.scan_dtype == "packed"
+        # pad rows to a multiple of the mesh size (fused/packed: each
+        # shard must also be a whole number of TN-row kernel tiles)
         unit = n_dev
         if self._fused:
             from ..ops.pallas_fused_scan import TN
 
             unit = n_dev * TN
+        elif self._packed_mode:
+            from ..ops.pallas_scan import TN as PACKED_TN
+
+            unit = n_dev * PACKED_TN
         pad_to = ((rows + unit - 1) // unit) * unit
 
         def padded(x):
@@ -365,6 +374,13 @@ class ShardedIvfIndex:
                 )
             cblk = tile_cluster_blocks(cluster_pad, valid_pad)
             (self._packed, self._cblk) = shard_rows(self.mesh, packed, cblk)
+        elif self._packed_mode:
+            from ..ops.pallas_scan import pack_bitplanes
+
+            packed = np.asarray(
+                pack_bitplanes(jnp.asarray(binary_pad), index.padded_dim)
+            )
+            (self._packed,) = shard_rows(self.mesh, packed)
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
         self._valid_pad = valid_pad  # host copy: filtered search re-shards
 
@@ -397,9 +413,10 @@ class ShardedIvfIndex:
             rerank=params.resolved_rerank(),
             metric=self.index.metric,
             ex_bits=self.index.ex_bits,
-            # the packed bitplane kernel is not sharded (fall back to dense);
-            # the fused kernel IS — each shard scans its own tile-aligned slice
-            scan_dtype="bf16" if self.index.scan_dtype == "packed" else self.index.scan_dtype,
+            # every scan mode is sharded: each shard runs the single-chip
+            # kernel ("packed"/fused incl. their Pallas stages) on its own
+            # tile-aligned row slice
+            scan_dtype=self.index.scan_dtype,
             max_tiles=self.index._fused_max_tiles(
                 params.nprobe, batch=queries.shape[0]
             ),
@@ -426,11 +443,16 @@ class ShardedMstgIndex:
         n_dev = self.mesh.shape[SHARD_AXIS]
         rows = int(dev.ids.shape[0])
         self._fused = index.scan_dtype in ("fused", "fused8")
+        self._packed_mode = index.scan_dtype == "packed"
         unit = n_dev
         if self._fused:
             from ..ops.pallas_fused_scan import TN
 
             unit = n_dev * TN
+        elif self._packed_mode:
+            from ..ops.pallas_scan import TN as PACKED_TN
+
+            unit = n_dev * PACKED_TN
         pad_to = ((rows + unit - 1) // unit) * unit
 
         def padded(x, fill=0):
@@ -475,6 +497,13 @@ class ShardedMstgIndex:
                 )
             cblk = tile_cluster_blocks(cluster_pad, valid_pad)
             (self._packed, self._cblk) = shard_rows(self.mesh, packed, cblk)
+        elif self._packed_mode:
+            from ..ops.pallas_scan import pack_bitplanes
+
+            packed = np.asarray(
+                pack_bitplanes(jnp.asarray(binary_pad), index.quant_dim)
+            )
+            (self._packed,) = shard_rows(self.mesh, packed)
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
 
     def batch_search(self, queries: np.ndarray, params) -> list:
@@ -505,7 +534,7 @@ class ShardedMstgIndex:
             rerank=rerank,
             metric=index.config.metric,
             ex_bits=index.config.rabitq_bits - 1,
-            scan_dtype="bf16" if index.scan_dtype == "packed" else index.scan_dtype,
+            scan_dtype=index.scan_dtype,
             use_prune_epsilon=True,
             refine_ex=index.config.refine_ex,
             clamp_l2=True,
