@@ -121,7 +121,13 @@ def main():
     ap.add_argument("--small", action="store_true", help="tiny smoke-test config")
     ap.add_argument("--scan-dtype", default="fused8",
                     choices=["f32", "bf16", "int8", "packed", "fused", "fused8"])
-    ap.add_argument("--pipeline-block", type=int, default=512)
+    ap.add_argument("--upload-dtype", default="int8",
+                    choices=["f32", "bf16", "int8"],
+                    help="query upload encoding for the pipelined serving "
+                    "loop (int8 = quarter the bytes of f32; measured best "
+                    "in BOTH fast- and slow-tunnel sessions, "
+                    "BENCHMARKS.md 'Upload encoding')")
+    ap.add_argument("--pipeline-block", type=int, default=256)
     ap.add_argument("--compare-dtypes", action="store_true",
                     help="also measure bf16/packed at the operating point "
                     "(costs a device-layout rebuild each)")
@@ -173,10 +179,10 @@ def main():
     log(f"build: {build_s:.1f}s")
 
     # Serving configuration: pipelined fixed-size blocks (upload of block
-    # i+1 overlaps block i's scan) with bf16 query uploads — the measured
-    # QPS includes host->device query transfer, overlapped as a real
-    # serving loop would.
-    index.upload_dtype = "bf16"
+    # i+1 overlaps block i's scan) with reduced-precision query uploads —
+    # the measured QPS includes host->device query transfer, overlapped as
+    # a real serving loop would.
+    index.upload_dtype = args.upload_dtype
     block = min(args.pipeline_block, args.batch)
 
     def run_all(params):
@@ -250,7 +256,7 @@ def main():
         "recall": round(rec, 4),
         "nprobe": chosen,
         "scan_dtype": best_dtype,
-        "upload": "bf16-pipelined",
+        "upload": f"{args.upload_dtype}-pipelined-b{block}",
         "dtype_qps": {k: round(v, 1) for k, v in dtype_qps.items()},
     }
 
@@ -273,16 +279,13 @@ def main():
         n_lists = mstg.posting_list_count()
         log(f"MSTG build: {mstg_build_s:.1f}s lists={n_lists}")
 
+        mstg.upload_dtype = args.upload_dtype
+
         def mstg_run(mp):
-            out = []
-            for s in range(0, args.queries, args.batch):
-                hits = mstg.batch_search(queries[s : s + args.batch], mp)
-                out.append(
-                    np.array(
-                        [[h.id for h in row] + [-1] * (args.top_k - len(row)) for row in hits]
-                    )
-                )
-            return np.concatenate(out)
+            hits = mstg.batch_search_pipelined(queries, mp, batch_size=block)
+            return np.array(
+                [[h.id for h in row] + [-1] * (args.top_k - len(row)) for row in hits]
+            )
 
         # ef sweep to the recall target, like the IVF nprobe sweep — a
         # fixed ef is wrong across list counts (ef=64 probes 19% of the

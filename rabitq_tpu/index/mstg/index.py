@@ -89,6 +89,10 @@ class MstgIndex:
         self.host = host
         self.scan_dtype = scan_dtype
         self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
+        # query upload encoding for serving ("f32" | "bf16" | "int8") —
+        # same contract as IvfRabitqIndex.upload_dtype: fewer bytes over
+        # the host link, all math f32 on device after decode
+        self.upload_dtype: str = "f32"
         self._device = None
         # optional rotation fused into the scan program (one dispatch)
         self._fused_scan = make_fused_search(
@@ -380,6 +384,22 @@ class MstgIndex:
 
         self._maybe_downgrade_fused()
         dev = self.device
+        packed, fused_cblk = self._scan_planes(dev)
+        b_pad = _pad_pow2(b)
+        # np query arg: its upload rides the dispatch (one tunnel round trip)
+        ids, dists = jax.device_get(
+            self._dispatch_scan(
+                self._encode_queries(queries, b_pad), params, dev, packed,
+                fused_cblk,
+            )
+        )
+        ids = ids[:b]
+        dists = dists[:b]
+
+        return self._dedup_results(ids, dists, params.top_k)
+
+    def _scan_planes(self, dev):
+        """(packed, fused_cblk) for the current scan mode, cached."""
         packed = None
         fused_cblk = None
         from ..scan import is_fused
@@ -403,10 +423,27 @@ class MstgIndex:
                 valid = np.arange(n_pad) < self.total_rows
                 self._fused_cblk = jnp.asarray(tile_cluster_blocks(cl, valid))
             fused_cblk = self._fused_cblk
-        b_pad = _pad_pow2(b)
-        q = np.zeros((b_pad, self.dim), np.float32)
-        q[:b] = queries
+        return packed, fused_cblk
 
+    def _encode_queries(self, queries: np.ndarray, b_pad: int):
+        """(q_padded, qscale | None) in the ``upload_dtype`` encoding —
+        mirror of ``IvfRabitqIndex._pad_queries``."""
+        q = np.zeros((b_pad, self.dim), np.float32)
+        q[: queries.shape[0]] = queries
+        if self.upload_dtype == "bf16":
+            import ml_dtypes
+
+            return q.astype(ml_dtypes.bfloat16), None
+        if self.upload_dtype == "int8":
+            scale = np.maximum(np.abs(q).max(axis=1), 1e-30) / 127.0
+            q_i8 = np.clip(np.rint(q / scale[:, None]), -127, 127).astype(np.int8)
+            return q_i8, scale.astype(np.float32)
+        return q, None
+
+    def _dispatch_scan(self, q_encoded, params, dev, packed, fused_cblk):
+        """Enqueue the MSTG scan on an encoded query block; returns device
+        arrays (callers fetch — lets serving loops pipeline)."""
+        q, qscale = q_encoded
         ex_bits = self.config.rabitq_bits - 1
         # fetch the full re-ranked survivor set: closure replication means a
         # vector can appear once per assigned posting list, and deduping a
@@ -417,17 +454,16 @@ class MstgIndex:
             params.resolved_rerank(),
             int(np.ceil(params.top_k * self.replication_factor())) + 16,
         )
-        fetch_k = rerank
-        # np query arg: its upload rides the dispatch (one tunnel round trip)
-        ids, dists = self._fused_scan(
+        return self._fused_scan(
             q,
             dev.centroids,
             *dev.scan_args(),
+            qscale=qscale,
             nprobe=jnp.int32(params.ef_search),
             prune_epsilon=jnp.float32(params.pruning_epsilon),
             packed=packed,
             fused_cblk=fused_cblk,
-            top_k=fetch_k,
+            top_k=rerank,
             rerank=rerank,
             metric=self.config.metric,
             ex_bits=ex_bits,
@@ -437,17 +473,17 @@ class MstgIndex:
             clamp_l2=True,
             centroid_select_l2=True,
             approx_topk=self.approx_topk,
-            max_tiles=self._fused_max_tiles(params.ef_search, batch=b_pad),
+            max_tiles=self._fused_max_tiles(params.ef_search, batch=q.shape[0]),
             probe_k=probe_k_bucket(params.ef_search, self.posting_list_count()),
         )
-        ids, dists = jax.device_get((ids, dists))  # one fetch round trip
-        ids = ids[:b]
-        dists = dists[:b]
 
-        # Vectorized closure dedup: results arrive best-first, so "first
-        # occurrence per id" == "best replica". A Python loop over the
-        # [B, rerank] hit matrix was the MSTG batch path's host bottleneck
-        # (rerank=4000 x 1000 queries ~ 4M interpreter iterations/batch).
+    def _dedup_results(
+        self, ids: np.ndarray, dists: np.ndarray, top_k: int
+    ) -> list[list[SearchResult]]:
+        """Vectorized closure dedup: results arrive best-first, so "first
+        occurrence per id" == "best replica". A Python loop over the
+        [B, rerank] hit matrix was the MSTG batch path's host bottleneck
+        (rerank=4000 x 1000 queries ~ 4M interpreter iterations/batch)."""
         valid = (ids >= 0) & np.isfinite(dists)
         ids_safe = np.where(valid, ids, np.int64(-1))
         sort_keys = np.argsort(ids_safe, axis=1, kind="stable")
@@ -460,7 +496,7 @@ class MstgIndex:
         sign = 1.0 if self.config.metric is Metric.L2 else -1.0
         out: list[list[SearchResult]] = []
         for row_ids, row_d, row_keep in zip(ids, dists, keep):
-            sel = np.nonzero(row_keep)[0][: params.top_k]
+            sel = np.nonzero(row_keep)[0][:top_k]
             out.append(
                 [
                     SearchResult(id=int(row_ids[j]), score=sign * float(row_d[j]))
@@ -468,6 +504,50 @@ class MstgIndex:
                 ]
             )
         return out
+
+    def batch_search_pipelined(
+        self,
+        queries: np.ndarray,
+        params: MstgSearchParams,
+        batch_size: int = 256,
+    ) -> list[list[SearchResult]]:
+        """``batch_search`` over many fixed-size blocks with upload/compute
+        overlap — the MSTG twin of
+        ``IvfRabitqIndex.batch_search_arrays_pipelined``: block i+1's query
+        upload (async ``device_put``) is in flight while block i scans, and
+        every block's small result is fetched at the end. Results are
+        identical to ``batch_search``; all blocks share one compiled
+        program."""
+        if self.total_rows == 0:
+            raise EmptyIndex()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, queries.shape[1])
+        b_total = queries.shape[0]
+        if params.top_k <= 0:
+            return [[] for _ in range(b_total)]
+        self._maybe_downgrade_fused()
+        dev = self.device
+        packed, fused_cblk = self._scan_planes(dev)
+        bs = _pad_pow2(min(batch_size, _pad_pow2(b_total)))
+        starts = list(range(0, b_total, bs))
+
+        def _stage(s):
+            return jax.device_put(self._encode_queries(queries[s : s + bs], bs))
+
+        pending = []
+        staged = _stage(starts[0])
+        for i in range(len(starts)):
+            cur, staged = staged, None
+            if i + 1 < len(starts):
+                staged = _stage(starts[i + 1])  # overlaps this block's scan
+            pending.append(
+                self._dispatch_scan(cur, params, dev, packed, fused_cblk)
+            )
+        fetched = jax.device_get(pending)
+        ids = np.concatenate([f[0] for f in fetched])[:b_total]
+        dists = np.concatenate([f[1] for f in fetched])[:b_total]
+        return self._dedup_results(ids, dists, params.top_k)
 
     def search_with_diagnostics(
         self, query: np.ndarray, params: MstgSearchParams

@@ -374,3 +374,35 @@ def test_mstg_diagnostics_show_epsilon_binding(rng):
     res_f, d_f = index.search_with_diagnostics(data[0], tight)
     assert res_f and res_f[0].id == 0
     assert d_f.estimated + d_f.skipped_by_lower_bound == probed_t
+
+
+def test_mstg_pipelined_and_upload_encodings(rng):
+    """batch_search_pipelined == batch_search, and reduced-precision query
+    uploads (bf16/int8, the MSTG twin of IvfRabitqIndex.upload_dtype) stay
+    within the encoding's rounding of the f32 results."""
+    data = _data(rng)
+    index = MstgIndex.build(
+        data, MstgConfig(max_posting_size=200, faster_config=True), seed=3
+    )
+    params = MstgSearchParams(top_k=10, ef_search=12, pruning_epsilon=0.8)
+    queries = data[:70]  # not a pow2: exercises block padding
+    ref = index.batch_search(queries, params)
+    piped = index.batch_search_pipelined(queries, params, batch_size=32)
+    assert [[r.id for r in row] for row in piped] == [
+        [r.id for r in row] for row in ref
+    ]
+    for upload in ("bf16", "int8"):
+        index.upload_dtype = upload
+        got = index.batch_search(queries, params)
+        overlap = np.mean(
+            [
+                len({r.id for r in a} & {r.id for r in b})
+                for a, b in zip(ref, got)
+            ]
+        )
+        assert overlap >= 9.0, (upload, overlap)
+        piped_lo = index.batch_search_pipelined(queries, params, batch_size=32)
+        assert [[r.id for r in row] for row in piped_lo] == [
+            [r.id for r in row] for row in got
+        ]
+    index.upload_dtype = "f32"
