@@ -189,7 +189,7 @@ def main():
         return index.batch_search_arrays_pipelined(queries, params, batch_size=block)
 
     # --- nprobe sweep (one compile: nprobe is traced) ---
-    nprobe_grid = [4, 8, 16, 32, 64, 128, 256, 512, 1024]
+    nprobe_grid = [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
     nprobe_grid = [p for p in nprobe_grid if p <= args.nlist]
     chosen = None
     qps_at = {}

@@ -154,7 +154,15 @@ class MstgIndex:
             raise ValueError(
                 f"Query dimension {queries.shape[1]} does not match expected {self.dimension}"
             )
-        return [_result_array(h) for h in index.batch_search(queries, self._params(k))]
+        # large batches take the pipelined serving loop (identical
+        # results; block i+1's upload overlaps block i's scan)
+        if queries.shape[0] > 256:
+            hits = index.batch_search_pipelined(
+                queries, self._params(k), batch_size=256
+            )
+        else:
+            hits = index.batch_search(queries, self._params(k))
+        return [_result_array(h) for h in hits]
 
     def get_memory_usage(self) -> int:
         return self._require().memory_usage()
@@ -256,7 +264,23 @@ class IvfRabitqIndex:
     ) -> list[np.ndarray]:
         index = self._require()
         queries = np.asarray(queries, np.float32)
-        res = index.batch_search(queries, SearchParams(top_k=k, nprobe=nprobe))
+        params = SearchParams(top_k=k, nprobe=nprobe)
+        if queries.ndim == 2 and queries.shape[0] > 256:
+            # pipelined serving loop: identical results, overlapped
+            # uploads; vectorized result-array conversion
+            ids, dists = index.batch_search_arrays_pipelined(
+                queries, params, batch_size=256
+            )
+            sign = 1.0 if index.metric is Metric.L2 else -1.0
+            out = []
+            for row_ids, row_d in zip(ids, dists):
+                m = (row_ids >= 0) & np.isfinite(row_d)
+                arr = np.empty((int(m.sum()), 2), np.float32)
+                arr[:, 0] = row_ids[m]
+                arr[:, 1] = sign * row_d[m]
+                out.append(arr)
+            return out
+        res = index.batch_search(queries, params)
         return [_result_array(h) for h in res]
 
     def save(self, path: str) -> None:

@@ -25,12 +25,14 @@ compiles that dominated the 1M-row MSTG build (~20 min; now minutes).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import time
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ...ops.kmeans import (
@@ -61,6 +63,7 @@ def hierarchical_cluster(
     kmeans_iters: int = 25,
     seed: int = 42,
     data_dev=None,
+    refine_iters: int = 12,
 ) -> ClusterSet:
     data = np.ascontiguousarray(data, np.float32)
     n = data.shape[0]
@@ -100,6 +103,13 @@ def hierarchical_cluster(
         for idx in oversized:
             split_round += 1
             m = idx.shape[0]
+            # Full fan-out (reference semantics, mstg/clustering.rs): an
+            # adaptive k = ceil(m/max_size) variant was measured and
+            # REJECTED — it yields fewer, fuller lists (399 vs 2221 at
+            # 100K/max=400) but per probed ROW the finer partition recalls
+            # far better (coverage 0.76 vs 0.46 at a ~3-4% row budget,
+            # tools/mstg_nav_diag.py), and on TPU probing more small lists
+            # is free.
             k = min(branching_factor, m)
             target = max(min(m, k * DEFAULT_MAX_POINTS_PER_CENTROID), k)
             sel = idx[rng.permutation(m)[:target]]
@@ -162,8 +172,92 @@ def hierarchical_cluster(
             level, g_count, len(active), time.perf_counter() - t0,
         )
 
+    if refine_iters > 0 and len(final) > 1:
+        final = _global_polish(
+            data, data_pad, n, final, max_cluster_size, refine_iters
+        )
+
     centroids = np.stack([data[m].mean(axis=0) for m in final]).astype(np.float32)
     return ClusterSet(members=final, centroids=centroids)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _polish_step(data, centroids, cent_group, row_group, block):
+    """One global Lloyd iteration over the LEAF centroids: grouped
+    assignment (padded centroid slots carry group -2 and match no row) +
+    segment-sum centroid update. Empty slots keep their old centroid (no
+    reseed: the polish must not invent new lists)."""
+    c_pad = centroids.shape[0]
+    assign = _grouped_assign_blocks(data, centroids, cent_group, row_group, block)
+    seg = jnp.where(row_group == 0, assign, c_pad)  # padding rows -> scratch
+    sums = jax.ops.segment_sum(data, seg, num_segments=c_pad + 1)[:c_pad]
+    counts = jax.ops.segment_sum(
+        jnp.ones(seg.shape, jnp.float32), seg, num_segments=c_pad + 1
+    )[:c_pad]
+    new_c = jnp.where(
+        counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centroids
+    )
+    return assign, new_c
+
+
+def _global_polish(
+    data: np.ndarray,
+    data_pad,  # [N_pad, D] device copy
+    n: int,
+    final: list[np.ndarray],
+    max_cluster_size: int,
+    refine_iters: int,
+) -> list[np.ndarray]:
+    """Global Lloyd polish of the leaf partition.
+
+    The level-synchronous recursion assigns each row only within its
+    parent's subtree, so rows near an early split boundary end up in a
+    leaf far from their globally-nearest one — measured on the calibrated
+    100K workload (tools/mstg_nav_diag.py) the un-polished leaves put the
+    true NN's list at median centroid-rank 140 (ef=4 coverage 0.10)
+    where a flat k-means partition of the same list count reaches median
+    rank 0 (ef=4 coverage 0.75). GLOBAL Lloyd iterations seeded from the
+    leaf centroids close that gap and pass the control (12 iters: ef=4
+    coverage 0.815 — the balanced hierarchy is a better init than
+    k-means++): one grouped-assignment dispatch per iteration, empty
+    leaves dropped, oversized leaves evenly re-split afterwards so
+    ``max_cluster_size`` still holds (the parts
+    share one neighborhood, so their means rank interchangeably). The
+    reference has no such pass (``mstg/clustering.rs`` stops at the
+    subtree partition); this is a quality-only TPU deviation — probing
+    cost on TPU depends on list-count geometry, not partition shape.
+    """
+    d = data.shape[1]
+    c = len(final)
+    cents = np.stack([data[m].mean(axis=0) for m in final]).astype(np.float32)
+    c_pad = _pad_pow2(c, floor=8)
+    cent = np.zeros((c_pad, d), np.float32)
+    cent[:c] = cents
+    cent_group = np.full(c_pad, -2, np.int32)
+    cent_group[:c] = 0
+    n_pad = data_pad.shape[0]
+    row_group = np.zeros(n_pad, np.int32)
+    row_group[n:] = -1
+    block = min(_block_size(c_pad), n_pad)
+    cent_dev = jnp.asarray(cent)
+    cg_dev = jnp.asarray(cent_group)
+    rg_dev = jnp.asarray(row_group)
+    assign = None
+    for _ in range(refine_iters):
+        assign, cent_dev = _polish_step(data_pad, cent_dev, cg_dev, rg_dev, block)
+    assign = np.asarray(assign)[:n]
+    order = np.argsort(assign, kind="stable")  # rows stay ascending per list
+    counts = np.bincount(assign, minlength=c)
+    polished: list[np.ndarray] = []
+    for m in np.split(order, np.cumsum(counts)[:-1]):
+        if m.size == 0:
+            continue
+        if m.size > max_cluster_size:
+            parts = (m.size + max_cluster_size - 1) // max_cluster_size
+            polished.extend(np.array_split(m, parts))
+        else:
+            polished.append(m)
+    return polished
 
 
 def _rebalance(

@@ -25,6 +25,7 @@ TPU-first deviations (documented, all quality-neutral or better):
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 from dataclasses import dataclass
@@ -398,6 +399,45 @@ class MstgIndex:
 
         return self._dedup_results(ids, dists, params.top_k)
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("top_k",))
+    def _dedup_topk_device(ids, dists, *, top_k: int):
+        """Closure dedup ON DEVICE: results arrive best-first along the
+        candidate axis, so in a stable id-sort the first occurrence of an
+        id is its best replica. Running this inside the dispatch (instead
+        of numpy on the fetched [B, rerank] arrays) shrinks the result
+        fetch to [B, top_k] and removes ~12 ms/256-block of host work
+        (measured, tools/mstg_profile.py)."""
+        b, r = ids.shape
+        valid = (ids >= 0) & jnp.isfinite(dists)
+        ids_safe = jnp.where(valid, ids, -1)
+        order = jnp.argsort(ids_safe, axis=1, stable=True)
+        sorted_ids = jnp.take_along_axis(ids_safe, order, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((b, 1), bool), sorted_ids[:, 1:] != sorted_ids[:, :-1]],
+            axis=1,
+        )
+        keep = (
+            jnp.zeros((b, r), bool)
+            .at[jnp.arange(b)[:, None], order]
+            .set(first)
+            & valid
+        )
+        # compact kept entries to the front, preserving best-first order
+        rank = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32), (b, r))
+        comp = jnp.argsort(jnp.where(keep, rank, r + rank), axis=1)
+        comp = comp[:, : min(top_k, r)]
+        out_ids = jnp.take_along_axis(ids, comp, axis=1)
+        out_d = jnp.take_along_axis(dists, comp, axis=1)
+        ok = jnp.take_along_axis(keep, comp, axis=1)
+        out_ids = jnp.where(ok, out_ids, -1)
+        out_d = jnp.where(ok, out_d, jnp.inf)
+        if top_k > r:  # tiny indexes: pad out to the requested k
+            pad = top_k - r
+            out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
+            out_d = jnp.pad(out_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        return out_ids, out_d
+
     def _scan_planes(self, dev):
         """(packed, fused_cblk) for the current scan mode, cached."""
         packed = None
@@ -442,7 +482,13 @@ class MstgIndex:
 
     def _dispatch_scan(self, q_encoded, params, dev, packed, fused_cblk):
         """Enqueue the MSTG scan on an encoded query block; returns device
-        arrays (callers fetch — lets serving loops pipeline)."""
+        arrays (callers fetch — lets serving loops pipeline).
+
+        Closure dedup runs ON DEVICE before the fetch: the scan returns the
+        full [B, rerank] replica set (rerank can be thousands at 1M scale),
+        and fetching it through the tunnel costs ~12 MB/256-block plus
+        ~12 ms of host dedup — `_dedup_topk_device` shrinks the fetch to
+        [B, top_k] with identical results (tools/mstg_profile.py)."""
         q, qscale = q_encoded
         ex_bits = self.config.rabitq_bits - 1
         # fetch the full re-ranked survivor set: closure replication means a
@@ -454,7 +500,7 @@ class MstgIndex:
             params.resolved_rerank(),
             int(np.ceil(params.top_k * self.replication_factor())) + 16,
         )
-        return self._fused_scan(
+        ids, dists = self._fused_scan(
             q,
             dev.centroids,
             *dev.scan_args(),
@@ -476,6 +522,7 @@ class MstgIndex:
             max_tiles=self._fused_max_tiles(params.ef_search, batch=q.shape[0]),
             probe_k=probe_k_bucket(params.ef_search, self.posting_list_count()),
         )
+        return self._dedup_topk_device(ids, dists, top_k=params.top_k)
 
     def _dedup_results(
         self, ids: np.ndarray, dists: np.ndarray, top_k: int

@@ -507,8 +507,6 @@ class ShardedMstgIndex:
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
 
     def batch_search(self, queries: np.ndarray, params) -> list:
-        from ..types import Metric, SearchResult
-
         index = self.index
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         b = queries.shape[0]
@@ -545,32 +543,14 @@ class ShardedMstgIndex:
                 params.ef_search, index.posting_list_count()
             ),
         )
+        # closure dedup ON DEVICE before the fetch (same helper as the
+        # single-chip path): shrinks the result fetch from [B, rerank] to
+        # [B, top_k] and leaves only the SearchResult conversion on host
+        ids, dists = type(index)._dedup_topk_device(
+            ids, dists, top_k=params.top_k
+        )
         ids, dists = jax.device_get((ids, dists))
-        ids, dists = ids[:b], dists[:b]
-        # Vectorized closure dedup (same scheme as MstgIndex.batch_search:
-        # results arrive best-first, so first occurrence == best replica —
-        # the per-row Python set() loop was the batch path's host
-        # bottleneck and had already been fixed on the single-chip path).
-        valid = (ids >= 0) & np.isfinite(dists)
-        ids_safe = np.where(valid, ids, np.int64(-1))
-        sort_keys = np.argsort(ids_safe, axis=1, kind="stable")
-        sorted_ids = np.take_along_axis(ids_safe, sort_keys, axis=1)
-        first = np.ones_like(sorted_ids, bool)
-        first[:, 1:] = sorted_ids[:, 1:] != sorted_ids[:, :-1]
-        keep = np.zeros_like(valid)
-        np.put_along_axis(keep, sort_keys, first, axis=1)
-        keep &= valid
-        sign = 1.0 if index.config.metric is Metric.L2 else -1.0
-        out = []
-        for row_ids, row_d, row_keep in zip(ids, dists, keep):
-            sel = np.nonzero(row_keep)[0][: params.top_k]
-            out.append(
-                [
-                    SearchResult(id=int(row_ids[j]), score=sign * float(row_d[j]))
-                    for j in sel
-                ]
-            )
-        return out
+        return index._dedup_results(ids[:b], dists[:b], params.top_k)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "k", "block"))

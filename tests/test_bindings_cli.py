@@ -143,3 +143,25 @@ def test_cli_build_query_info(tmp_path, rng):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout)
     assert out["recall"] >= 0.9, out
+
+
+def test_binding_batch_query_large_batch_pipelined(rng):
+    """batch_query > 256 queries takes the pipelined serving loop in both
+    bindings and returns exactly the small-path results."""
+    data = _data(rng, n=800)
+    ivf = IvfRabitqIndex(32)
+    ivf.fit(data, nlist=8)
+    queries = np.concatenate([data, data])[:300]
+    big = ivf.batch_query(queries, k=5, nprobe=8)
+    small = [ivf.batch_query(queries[i : i + 1], k=5, nprobe=8)[0] for i in range(0, 300, 97)]
+    assert len(big) == 300
+    for i, ref in zip(range(0, 300, 97), small):
+        np.testing.assert_array_equal(big[i][:, 0], ref[:, 0])
+        np.testing.assert_allclose(big[i][:, 1], ref[:, 1], rtol=1e-5)
+
+    mstg = MstgIndex(32, max_posting_size=100, branching_factor=4)
+    mstg.fit(data)
+    big_m = mstg.batch_query(queries, k=5)
+    assert len(big_m) == 300
+    one = mstg.batch_query(queries[:1], k=5)[0]
+    np.testing.assert_array_equal(big_m[0][:, 0], one[:, 0])

@@ -35,6 +35,40 @@ def test_hierarchical_clustering_respects_max_size(rng):
     assert np.array_equal(np.sort(all_idx), np.arange(3000))
 
 
+def test_global_polish_improves_partition(rng):
+    """The global Lloyd polish (clustering._global_polish) must keep the
+    exact-partition + max-size invariants and strictly reduce the mean
+    distance-to-assigned-centroid vs the un-polished subtree partition
+    (the level-synchronous recursion assigns rows only within their
+    parent's subtree; the polish fixes the split-boundary rows)."""
+    data = _data(rng, 4000, 32)
+
+    def cost(cs):
+        return float(
+            np.mean(
+                [
+                    np.sum((data[m] - data[m].mean(axis=0)) ** 2, axis=-1).mean()
+                    for m in cs.members
+                    if m.size
+                ]
+            )
+        )
+
+    raw = hierarchical_cluster(
+        data, max_cluster_size=150, branching_factor=4, refine_iters=0
+    )
+    polished = hierarchical_cluster(
+        data, max_cluster_size=150, branching_factor=4, refine_iters=4
+    )
+    for cs in (raw, polished):
+        sizes = np.array([m.size for m in cs.members])
+        assert sizes.max() <= 150
+        assert np.array_equal(
+            np.sort(np.concatenate(cs.members)), np.arange(4000)
+        )
+    assert cost(polished) <= cost(raw) * 1.001
+
+
 def test_closure_assignment_properties(rng):
     data = _data(rng, 500, 24)
     cents = hierarchical_cluster(data, 100, 4).centroids
@@ -406,3 +440,56 @@ def test_mstg_pipelined_and_upload_encodings(rng):
             [r.id for r in row] for row in got
         ]
     index.upload_dtype = "f32"
+
+
+def test_dedup_topk_device_matches_host_oracle(rng):
+    """The on-device closure dedup (`MstgIndex._dedup_topk_device`, run
+    inside the scan dispatch so the result fetch is [B, top_k]) keeps
+    exactly the rows the host-side `_dedup_results` oracle keeps: first
+    (= best, results arrive best-first) occurrence per id, in order."""
+    b, r, top_k = 7, 25, 6
+    ids = rng.integers(0, 12, (b, r)).astype(np.int64)
+    dists = np.sort(rng.random((b, r)).astype(np.float32), axis=1)
+    # sprinkle invalid entries: negative ids and inf distances
+    ids[rng.random((b, r)) < 0.2] = -1
+    dists[rng.random((b, r)) < 0.1] = np.inf
+    # one row fully invalid
+    ids[3] = -1
+
+    out_ids, out_d = map(
+        np.asarray, MstgIndex._dedup_topk_device(ids, dists, top_k=top_k)
+    )
+    assert out_ids.shape == (b, top_k)
+
+    valid = (ids >= 0) & np.isfinite(dists)
+    for i in range(b):
+        seen, expect = set(), []
+        for j in range(r):
+            if valid[i, j] and ids[i, j] not in seen:
+                seen.add(ids[i, j])
+                expect.append((ids[i, j], dists[i, j]))
+        expect = expect[:top_k]
+        got = [
+            (out_ids[i, j], out_d[i, j])
+            for j in range(top_k)
+            if out_ids[i, j] >= 0
+        ]
+        assert [g[0] for g in got] == [e[0] for e in expect]
+        np.testing.assert_allclose(
+            [g[1] for g in got], [e[1] for e in expect], rtol=1e-6
+        )
+        # padding slots are inert
+        for j in range(len(got), top_k):
+            assert out_ids[i, j] == -1 and np.isinf(out_d[i, j])
+
+
+def test_dedup_topk_device_pads_small_candidate_sets(rng):
+    """top_k larger than the candidate axis pads with (-1, inf)."""
+    ids = np.array([[3, 3, 5]], np.int64)
+    dists = np.array([[0.1, 0.2, 0.3]], np.float32)
+    out_ids, out_d = map(
+        np.asarray, MstgIndex._dedup_topk_device(ids, dists, top_k=8)
+    )
+    assert out_ids.shape == (1, 8)
+    assert list(out_ids[0][:2]) == [3, 5]
+    assert all(out_ids[0][2:] == -1) and np.isinf(out_d[0][2:]).all()
