@@ -57,6 +57,12 @@ class MstgConfig:
     # MSTG scan is 1-bit-estimate only, mstg/index.rs:216-331; refinement
     # improves recall at equal ef — disable for exact reference parity)
     refine_ex: bool = True
+    # TPU-specific build-time knob (not persisted): global Lloyd polish
+    # iterations applied to the hierarchical leaf partition — the subtree-
+    # restricted recursion strands split-boundary rows in far lists, and
+    # the polish roughly doubles low-ef recall (BENCHMARKS.md "Global
+    # Lloyd polish"). 0 restores strict reference clustering behavior.
+    refine_iters: int = 12
     # TPU-specific: apply an FhtKac rotation before clustering/quantization.
     # The reference quantizes MSTG posting lists in the original space
     # (mstg/index.rs:49-88), which caps recall on coordinate-correlated

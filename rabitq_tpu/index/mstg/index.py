@@ -146,6 +146,7 @@ class MstgIndex:
                 balance_weight=config.balance_weight,
                 seed=seed,
                 data_dev=data_dev,
+                refine_iters=config.refine_iters,
             )
         centroids = clusters.centroids
 
