@@ -65,6 +65,38 @@ def make_workload(rows, n_queries, dim, n_centers, rng, sigma=None):
     return data, queries
 
 
+def load_or_make_workload(rows, n_queries, dim, n_centers, rng):
+    """make_workload with an on-disk cache (data/bench_cache/).
+
+    Generating the 1M x 960 workload costs ~25 min of single-core numpy on
+    the benchmark host; the draw is deterministic given (rows, dim,
+    n_centers, seed), so cache the arrays and mmap the big one back. The
+    cache lives under data/ (gitignored) next to the sweep datasets.
+    """
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "bench_cache"
+    )
+    tag = f"{rows}x{dim}_c{n_centers}_q{n_queries}_s7v1"
+    dpath = os.path.join(cache_dir, f"data_{tag}.npy")
+    qpath = os.path.join(cache_dir, f"queries_{tag}.npy")
+    if os.path.exists(dpath) and os.path.exists(qpath):
+        data = np.load(dpath, mmap_mode="r")
+        queries = np.load(qpath)
+        if data.shape == (rows, dim) and queries.shape == (n_queries, dim):
+            log(f"workload: cached ({dpath})")
+            return data, queries
+        log("workload cache shape mismatch; regenerating")
+    data, queries = make_workload(rows, n_queries, dim, n_centers, rng)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(dpath, data)
+        np.save(qpath, queries)
+        log(f"workload: cached to {cache_dir}")
+    except OSError as e:
+        log(f"workload cache write skipped: {e}")
+    return data, queries
+
+
 def exact_groundtruth(data, queries, k, block=50_000):
     import jax
     import jax.numpy as jnp
@@ -143,23 +175,36 @@ def main():
 
     rng = np.random.default_rng(7)
     log(f"generating {args.rows}x{args.dim} dataset ...")
-    data, queries = make_workload(
+    data, queries = load_or_make_workload(
         args.rows, args.queries, args.dim, max(args.nlist // 2, 8), rng
     )
 
     # groundtruth is deterministic given the config; cache it across runs
+    # (preferred home: data/bench_cache next to the workload cache; /tmp
+    # kept as a fallback read location for pre-existing caches)
     cache_key = hashlib.sha1(
         f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v4".encode()
     ).hexdigest()[:16]
-    cache_path = f"/tmp/rabitq_bench_gt_{cache_key}.npy"
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "bench_cache"
+    )
+    cache_path = os.path.join(cache_dir, f"gt_{cache_key}.npy")
+    tmp_path = f"/tmp/rabitq_bench_gt_{cache_key}.npy"
     if os.path.exists(cache_path):
         gt = np.load(cache_path)
         log(f"groundtruth: cached ({cache_path})")
+    elif os.path.exists(tmp_path):
+        gt = np.load(tmp_path)
+        log(f"groundtruth: cached ({tmp_path})")
     else:
         log("computing exact groundtruth ...")
         t0 = time.time()
         gt = exact_groundtruth(data, queries, args.top_k)
-        np.save(cache_path, gt)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.save(cache_path, gt)
+        except OSError:
+            np.save(tmp_path, gt)
         log(f"groundtruth: {time.time()-t0:.1f}s")
 
     log(f"building index (scan_dtype={args.scan_dtype}) ...")

@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import exact_groundtruth, make_workload  # noqa: E402
+from bench import exact_groundtruth, load_or_make_workload  # noqa: E402
 
 
 def main():
@@ -42,7 +42,7 @@ def main():
     # identical draw order to bench.py (data, then 2048 in-distribution queries)
     rng = np.random.default_rng(7)
     print(f"generating {args.rows}x{args.dim} ...", file=sys.stderr, flush=True)
-    data, queries = make_workload(
+    data, queries = load_or_make_workload(
         args.rows, 2048, args.dim, max(args.nlist // 2, 8), rng
     )
     queries = queries[: args.queries]
