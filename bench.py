@@ -233,7 +233,9 @@ def main():
     def run_all(params):
         return index.batch_search_arrays_pipelined(queries, params, batch_size=block)
 
-    # --- nprobe sweep (one compile: nprobe is traced) ---
+    # --- nprobe sweep (nprobe is traced; the dense paths compile once.
+    # fused compiles one variant per pow2 max_tiles/probe_k bucket —
+    # bounded, and each variant is reused across the sweep) ---
     nprobe_grid = [2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
     nprobe_grid = [p for p in nprobe_grid if p <= args.nlist]
     chosen = None

@@ -113,6 +113,7 @@ def exact_t_rows(
     rotator: Rotator | None,
     ex_bits: int,
     chunk: int = 32768,
+    centroids_rotated: np.ndarray | None = None,  # [C, Dq] ROTATED-space base
 ) -> np.ndarray:
     """Per-output-row exact rescale t, computed host-side.
 
@@ -121,9 +122,16 @@ def exact_t_rows(
     round trips: rotation is linear, so the rotated residual is
     ``rotate(data_row - raw_centroid)`` computed with the host numpy FHT
     (``rotate_np``), then swept by :func:`best_rescale_factor_exact`.
+
+    ``centroids_rotated`` subtracts the base AFTER rotation instead —
+    required when the stored centroids are precision-rounded in rotated
+    space (MSTG ``centroid_precision`` + ``use_rotator``): rounding does
+    not commute with rotation, so the t sweep must see the same residual
+    base ``rotate(row) - q(rotate(centroid))`` the codes are built about.
     """
     from ..ops.quantize import best_rescale_factor_exact
 
+    assert centroids is None or centroids_rotated is None
     m = assign.shape[0]
     out = np.empty(m, np.float32)
     for s in range(0, m, chunk):
@@ -134,6 +142,8 @@ def exact_t_rows(
             resid = resid - centroids[assign[s:e]]
         if rotator is not None:
             resid = rotator.rotate_np(resid)
+        if centroids_rotated is not None:
+            resid = resid - centroids_rotated[assign[s:e]]
         o = np.abs(resid)
         norm = np.linalg.norm(o, axis=-1, keepdims=True)
         o = o / np.maximum(norm, np.finfo(np.float32).eps)

@@ -693,7 +693,7 @@ class IvfRabitqIndex:
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
             max_tiles=self._fused_max_tiles(params.nprobe, batch=q.shape[0]),
-            probe_k=probe_k_bucket(params.nprobe, self.cluster_count()),
+            probe_k=probe_k_bucket(params.nprobe, self.cluster_count(), self.scan_dtype),
         )
 
     def search_with_diagnostics(
@@ -731,7 +731,7 @@ class IvfRabitqIndex:
             approx_topk=self.approx_topk,
             with_diagnostics=True,
             max_tiles=self._fused_max_tiles(params.nprobe, batch=1),
-            probe_k=probe_k_bucket(params.nprobe, self.cluster_count()),
+            probe_k=probe_k_bucket(params.nprobe, self.cluster_count(), self.scan_dtype),
         )
         ids, dists, diag = jax.device_get((ids, dists, diag))
         results = []

@@ -167,13 +167,15 @@ class MstgIndex:
             centroids = apply_centroid_precision(
                 centroids, config.centroid_precision
             )
-            raw_centroids = centroids  # quantized == the residual base
         else:
-            raw_centroids = centroids  # unrotated, for the exact t sweep
             centroids = apply_centroid_precision(
                 np.asarray(jax.jit(rotator.rotate)(jnp.asarray(centroids))),
                 config.centroid_precision,
             )
+        # either way `centroids` now holds the exact stored values — the
+        # residual base for BOTH the t sweep and build_codes (rounding does
+        # not commute with rotation, so the rotator branch must hand the
+        # sweep the rotated-space quantized base, not the raw centroids)
 
         # Step 3: per-posting-list residual quantization (original space,
         # or rotated space under the use_rotator extension)
@@ -196,9 +198,15 @@ class MstgIndex:
 
         if ex_bits > 0 and not config.faster_config:
             # reference default: exact per-vector t sweep (quantizer.rs:332)
-            t_rows = exact_t_rows(
-                data, raw_centroids, row_list, ids, rotator, ex_bits
-            )
+            if rotator is None:
+                t_rows = exact_t_rows(
+                    data, centroids, row_list, ids, rotator, ex_bits
+                )
+            else:
+                t_rows = exact_t_rows(
+                    data, None, row_list, ids, rotator, ex_bits,
+                    centroids_rotated=centroids,
+                )
         with timed(f"quantize rows={total_rows}", _log):
             codes = build_codes(
                 data_dev,
@@ -521,7 +529,7 @@ class MstgIndex:
             centroid_select_l2=True,
             approx_topk=self.approx_topk,
             max_tiles=self._fused_max_tiles(params.ef_search, batch=q.shape[0]),
-            probe_k=probe_k_bucket(params.ef_search, self.posting_list_count()),
+            probe_k=probe_k_bucket(params.ef_search, self.posting_list_count(), self.scan_dtype),
         )
         return self._dedup_topk_device(ids, dists, top_k=params.top_k)
 
@@ -611,23 +619,7 @@ class MstgIndex:
 
         self._maybe_downgrade_fused()
         dev = self.device
-        packed = None
-        fused_cblk = None
-        from ..scan import is_fused
-
-        if is_fused(self.scan_dtype):
-            if getattr(self, "_packed", None) is None:
-                self._packed = dev.packed
-            packed = self._packed
-            if getattr(self, "_fused_cblk", None) is None:
-                from ...ops.pallas_fused_scan import tile_cluster_blocks
-                from ..layout import cluster_of_rows
-
-                n_pad = int(dev.ids.shape[0])
-                cl = cluster_of_rows(np.diff(self.host.list_offsets), n_pad)
-                valid = np.arange(n_pad) < self.total_rows
-                self._fused_cblk = jnp.asarray(tile_cluster_blocks(cl, valid))
-            fused_cblk = self._fused_cblk
+        packed, fused_cblk = self._scan_planes(dev)
         q = np.zeros((1, self.dim), np.float32)
         q[0] = np.asarray(query, np.float32)
         ex_bits = self.config.rabitq_bits - 1
@@ -651,7 +643,7 @@ class MstgIndex:
             approx_topk=self.approx_topk,
             with_diagnostics=True,
             max_tiles=self._fused_max_tiles(params.ef_search, batch=1),
-            probe_k=probe_k_bucket(params.ef_search, self.posting_list_count()),
+            probe_k=probe_k_bucket(params.ef_search, self.posting_list_count(), self.scan_dtype),
         )
         ids, dists, diag = jax.device_get((ids, dists, diag))
         sign = 1.0 if self.config.metric is Metric.L2 else -1.0

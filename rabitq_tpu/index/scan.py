@@ -35,13 +35,22 @@ from ..types import Metric
 from ..ops import estimator as est_ops
 
 
-def probe_k_bucket(nprobe, n_clusters: int) -> int | None:
+def probe_k_bucket(nprobe, n_clusters: int, scan_dtype: str = "fused") -> int | None:
     """Static truncated-ranking size for ``scan_kernel``'s ``probe_k``.
 
     pow2 buckets (bounded recompiles across sweeps); None (full ranking)
     when nprobe is traced/unknown or close to the cluster count. The
     bucket is >= nprobe by construction, so truncation never drops a
-    probed cluster."""
+    probed cluster.
+
+    Only the fused path gets a bucket: it already compiles per
+    ``max_tiles`` bucket, and truncating its prep stage measured +15%
+    end-to-end (BENCHMARKS.md "probe_k"). The dense/bf16/int8/packed
+    paths keep ``nprobe`` fully traced — one compiled program per index
+    across a whole parameter sweep (the CLAUDE.md invariant) — where the
+    centroid ranking is noise next to the all-rows scan anyway."""
+    if not is_fused(scan_dtype):
+        return None
     if not isinstance(nprobe, (int, np.integer)):
         return None
     k = max(int(nprobe), 1)

@@ -77,6 +77,37 @@ class StreamedIvfIndex:
     def n_chunks(self) -> int:
         return len(self._chunks)
 
+    def _fused_max_tiles(self, nprobe, batch) -> int | None:
+        """Per-chunk compaction budget: max over chunk slices of the local
+        probed-tile bound (cached per (nprobe, batch-tile); equal-shape
+        chunks share one compiled program, so one shared budget)."""
+        import os
+
+        if not self._fused or not isinstance(nprobe, (int, np.integer)):
+            return None
+        if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
+            return None
+        from ..ops.pallas_fused_scan import TB, sliced_max_tiles
+
+        bt = min(TB, ((int(batch) + 31) // 32) * 32)
+        key = (int(nprobe), bt)
+        cache = getattr(self, "_max_tiles_cache", None)
+        if cache is None:
+            cache = self._max_tiles_cache = {}
+        if key not in cache:
+            n = len(self.index)
+            slices = [
+                (s, min(s + self.chunk_rows, n))
+                for s in range(0, n, self.chunk_rows)
+            ]
+            cache[key] = sliced_max_tiles(
+                np.diff(self.index.host.cluster_offsets),
+                int(nprobe),
+                slices,
+                bt,
+            )
+        return cache[key]
+
     def batch_search_arrays(
         self,
         queries: np.ndarray,
@@ -116,6 +147,12 @@ class StreamedIvfIndex:
                 chunk = {**chunk, "valid": chunk["valid"] & ok}
             return jax.device_put(chunk)  # pytree of host arrays, async
 
+        # per-CHUNK probed-tile budget: each chunk's kernel sees only its
+        # own slab, so the budget comes from the max per-chunk bound
+        # (sliced_max_tiles), not the whole-index bound (which routinely
+        # exceeds a chunk's tile count and used to disable compaction)
+        max_tiles = self._fused_max_tiles(params.nprobe, b_pad)
+
         pending = []
         staged = _put(self._chunks[0])
         for i in range(len(self._chunks)):
@@ -153,14 +190,11 @@ class StreamedIvfIndex:
                 ex_bits=self.index.ex_bits,
                 scan_dtype=self._scan_dtype,
                 approx_topk=self.index.approx_topk,
-                # chunk tiles are subsets of the global tiles, so the
-                # whole-index bound is safe; clamps to the chunk's tile
-                # count inside fused_select
-                max_tiles=self.index._fused_max_tiles(
-                    params.nprobe, batch=b_pad
-                ),
+                max_tiles=max_tiles,
                 probe_k=probe_k_bucket(
-                    params.nprobe, self.index.cluster_count()
+                    params.nprobe,
+                    self.index.cluster_count(),
+                    self.index.scan_dtype,
                 ),
             )
             pending.append((ids_c, dist_c))

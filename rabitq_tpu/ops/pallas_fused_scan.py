@@ -171,6 +171,59 @@ def expected_tile_cost(
     return float(min(n_tiles, u * spans[nonempty].mean()))
 
 
+def sliced_max_tiles(
+    cluster_sizes, nprobe: int, slices, batch_tile: int | None = None
+) -> int | None:
+    """Compaction budget valid for EVERY row slice in ``slices``.
+
+    The sharded and streamed tiers run the fused kernel on TN-aligned row
+    slices ``(start, stop)`` of the cluster-sorted row space (one per
+    shard / chunk). A whole-index :func:`probed_tile_bound` routinely
+    exceeds a slice's own tile count, which used to disable compaction
+    there outright; this computes the max over slices of the LOCAL bound
+    (a cluster contributes only its in-slice tile span), applies the
+    expected-cost gate per slice, and returns one pow2-bucketed budget
+    shared by every slice's compiled program. None = dense walk.
+    """
+    if batch_tile is None:
+        batch_tile = TB
+    sizes = np.asarray(cluster_sizes, np.int64)
+    off = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=off[1:])
+    c_nonempty = max(int((sizes > 0).sum()), 1)
+    u = min(c_nonempty, batch_tile * max(int(nprobe), 1))
+    best = 0
+    max_slab_tiles = 0
+    for s, e in slices:
+        local = np.maximum(np.minimum(off[1:], e) - np.maximum(off[:-1], s), 0)
+        nonempty = local > 0
+        m = int(nonempty.sum())
+        if m == 0:
+            continue  # all-padding slice: never scanned for real rows
+        slab_tiles = (int(e) - int(s) + TN - 1) // TN
+        max_slab_tiles = max(max_slab_tiles, slab_tiles)
+        loc_off = np.zeros(len(local) + 1, np.int64)
+        np.cumsum(local, out=loc_off[1:])
+        spans = np.zeros(len(local), np.int64)
+        spans[nonempty] = (
+            (loc_off[1:][nonempty] - 1) // TN - loc_off[:-1][nonempty] // TN + 1
+        )
+        # EXPECTED cost: of the block's ~u probed clusters, only the
+        # slice's share (m / c_nonempty) intersects this slice — the
+        # whole-index expected_tile_cost would overcount by the shard
+        # count and wrongly reject compaction on every slice
+        exp = u * (m / c_nonempty) * float(spans[nonempty].mean())
+        if exp >= 0.6 * slab_tiles:
+            return None  # one static budget for all slices: all-or-nothing
+        # SAFE bound: adversarially, every probed cluster may live in
+        # this one slice — sum of its largest u local spans
+        top = np.sort(spans[nonempty])[::-1][: min(m, u)]
+        best = max(best, int(min(slab_tiles, top.sum())))
+    if best <= 0:
+        return None
+    return int(min(1 << (best - 1).bit_length(), max_slab_tiles))
+
+
 def _tile_update(
     t,  # traced int32: ACTUAL row-tile index (grid step under compaction)
     c_base,  # traced int32: the tile's cluster-window 128-block base
@@ -477,7 +530,13 @@ def fused_select(
     n_tiles = packed.shape[0] // TN
     tb = min(TB, b_pad)
     tiles = tcount = None
-    if max_tiles is not None and 0 < max_tiles <= n_tiles:
+    if max_tiles is not None:
+        # a budget from a WHOLE-index bound may exceed this call's local
+        # tile count (row shards, streamed chunks): clamp, don't disable —
+        # every local tile listed is still strictly cheaper than the dense
+        # walk's same tiles plus its masked ones
+        max_tiles = min(max_tiles, n_tiles)
+    if max_tiles is not None and max_tiles > 0:
         # --- probed-tile compaction ---
         # Per-tile cluster range over UNMASKED rows only (masked rows have
         # fa_eff = BIG and can never survive, so tiles holding only masked

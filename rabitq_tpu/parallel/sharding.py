@@ -149,9 +149,9 @@ def sharded_scan(
             clamp_l2=clamp_l2,
             centroid_select_l2=centroid_select_l2,
             approx_topk=approx_topk,
-            # per-shard tile budget: the global bound clamps to the local
-            # tile count inside fused_select (a cluster's in-shard span
-            # never exceeds its global span)
+            # per-shard tile budget: the wrappers compute it from the
+            # per-slice bounds (sliced_max_tiles), so it fits each shard's
+            # local tile count; fused_select clamps as a backstop
             max_tiles=max_tiles,
             probe_k=probe_k,
         )
@@ -207,6 +207,32 @@ def sharded_scan(
         out_specs=(P(), P()),
         check_vma=False,
     )(*args)
+
+
+def _sliced_fused_max_tiles(wrapper, cluster_sizes, nprobe, batch, *, fused):
+    """Shared per-shard compaction budget for the sharded wrappers: the
+    slice list is ``n_dev`` equal ``_slab_rows`` windows of the
+    cluster-sorted row space; results are cached per (nprobe, batch-tile)
+    like the single-chip ``_fused_max_tiles``."""
+    import os
+
+    if not fused or not isinstance(nprobe, (int, np.integer)):
+        return None
+    if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
+        return None
+    from ..ops.pallas_fused_scan import TB, sliced_max_tiles
+
+    bt = min(TB, ((int(batch) + 31) // 32) * 32)
+    key = (int(nprobe), bt)
+    cache = getattr(wrapper, "_max_tiles_cache", None)
+    if cache is None:
+        cache = wrapper._max_tiles_cache = {}
+    if key not in cache:
+        L = wrapper._slab_rows
+        n_dev = wrapper.mesh.shape[SHARD_AXIS]
+        slices = [(i * L, (i + 1) * L) for i in range(n_dev)]
+        cache[key] = sliced_max_tiles(cluster_sizes, int(nprobe), slices, bt)
+    return cache[key]
 
 
 class ShardedIvfIndex:
@@ -334,6 +360,7 @@ class ShardedIvfIndex:
             out[:rows] = x
             return out
 
+        self._slab_rows = pad_to // n_dev  # rows per device (TN-aligned)
         ids_np = np.asarray(dev.ids)
         ids_pad = np.full(pad_to, -1, np.int32)
         ids_pad[:rows] = ids_np
@@ -384,6 +411,20 @@ class ShardedIvfIndex:
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
         self._valid_pad = valid_pad  # host copy: filtered search re-shards
 
+    def _fused_max_tiles(self, nprobe, batch):
+        """Per-SHARD probed-tile budget: each device's kernel sees only its
+        own ``_slab_rows``-row slice, so the budget comes from the max of
+        the per-slice bounds (``sliced_max_tiles``), not the whole-index
+        bound (which routinely exceeds a slice's tile count and would
+        leave compaction off on every shard)."""
+        return _sliced_fused_max_tiles(
+            self,
+            np.diff(self.index._offsets),
+            nprobe,
+            batch,
+            fused=self._fused,
+        )
+
     def batch_search_arrays(self, queries, params, filter_ids=None):
         """Row-sharded batched search; ``filter_ids`` restricts results to
         the given vector ids (``ivf.rs:1723-1730`` semantics) — the row
@@ -417,10 +458,10 @@ class ShardedIvfIndex:
             # kernel ("packed"/fused incl. their Pallas stages) on its own
             # tile-aligned row slice
             scan_dtype=self.index.scan_dtype,
-            max_tiles=self.index._fused_max_tiles(
-                params.nprobe, batch=queries.shape[0]
+            max_tiles=self._fused_max_tiles(params.nprobe, queries.shape[0]),
+            probe_k=probe_k_bucket(
+                params.nprobe, self.index.cluster_count(), self.index.scan_dtype
             ),
-            probe_k=probe_k_bucket(params.nprobe, self.index.cluster_count()),
         )
         return jax.device_get((ids, dists))
 
@@ -454,6 +495,7 @@ class ShardedMstgIndex:
 
             unit = n_dev * PACKED_TN
         pad_to = ((rows + unit - 1) // unit) * unit
+        self._slab_rows = pad_to // n_dev  # rows per device (TN-aligned)
 
         def padded(x, fill=0):
             x = np.asarray(x)
@@ -506,6 +548,16 @@ class ShardedMstgIndex:
             (self._packed,) = shard_rows(self.mesh, packed)
         (self._centroids,) = replicate(self.mesh, np.asarray(dev.centroids))
 
+    def _fused_max_tiles(self, ef_search, batch):
+        """Per-SHARD probed-tile budget (see ShardedIvfIndex's twin)."""
+        return _sliced_fused_max_tiles(
+            self,
+            np.diff(self.index.host.list_offsets),
+            ef_search,
+            batch,
+            fused=self._fused,
+        )
+
     def batch_search(self, queries: np.ndarray, params) -> list:
         index = self.index
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -538,9 +590,9 @@ class ShardedMstgIndex:
             clamp_l2=True,
             centroid_select_l2=True,
             approx_topk=index.approx_topk,
-            max_tiles=index._fused_max_tiles(params.ef_search, batch=b),
+            max_tiles=self._fused_max_tiles(params.ef_search, b),
             probe_k=probe_k_bucket(
-                params.ef_search, index.posting_list_count()
+                params.ef_search, index.posting_list_count(), index.scan_dtype
             ),
         )
         # closure dedup ON DEVICE before the fetch (same helper as the

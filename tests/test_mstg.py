@@ -409,6 +409,13 @@ def test_mstg_diagnostics_show_epsilon_binding(rng):
     assert res_f and res_f[0].id == 0
     assert d_f.estimated + d_f.skipped_by_lower_bound == probed_t
 
+    # packed-path regression: diagnostics used to inline (and drift from)
+    # _scan_planes, crashing on scan_dtype="packed" with packed=None
+    index.scan_dtype = "packed"
+    res_p, d_p = index.search_with_diagnostics(data[0], tight)
+    assert res_p and res_p[0].id == 0
+    assert d_p.estimated + d_p.skipped_by_lower_bound == probed_t
+
 
 def test_mstg_pipelined_and_upload_encodings(rng):
     """batch_search_pipelined == batch_search, and reduced-precision query

@@ -387,3 +387,106 @@ def test_fused_layout_drops_binary_plane(rng):
             data[:1000], nlist=4, total_bits=bits, seed=2, scan_dtype="fused"
         )
         assert idx.device.binary is not None, bits
+
+
+def _compact_geometry(rng, c=160, dim=32):
+    """160 one-cluster-per-tile clusters: enough tiles at nprobe=2 for the
+    expected-cost gate to enable compaction (same shape as
+    test_compaction_auto_enables_end_to_end)."""
+    n = c * TN
+    centroids = rng.normal(size=(c, dim)).astype(np.float32)
+    assign = np.repeat(np.arange(c), TN)
+    data = (centroids[assign] + 0.2 * rng.normal(size=(n, dim))).astype(
+        np.float32
+    )
+    return data, centroids, assign
+
+
+def test_sliced_max_tiles_is_a_valid_bound(rng):
+    """For random cluster-size distributions and TN-aligned slices, the
+    shared per-slice budget must cover the tiles any nprobe-sized probe
+    set can touch in any slice (the adversarial case the sharded and
+    streamed tiers rely on)."""
+    from rabitq_tpu.ops.pallas_fused_scan import sliced_max_tiles
+
+    for trial in range(6):
+        trng = np.random.default_rng(100 + trial)
+        c = int(trng.integers(40, 300))
+        sizes = trng.integers(0, 4 * TN, size=c).astype(np.int64)
+        n = int(sizes.sum())
+        if n < 4 * TN:
+            continue
+        off = np.concatenate([[0], np.cumsum(sizes)])
+        n_slices = int(trng.integers(2, 6))
+        slab = ((n // n_slices) // TN + 1) * TN
+        slices = [(i * slab, min((i + 1) * slab, n)) for i in range(n_slices)]
+        slices = [(s, e) for s, e in slices if e > s]
+        nprobe, bt = 2, 32
+        budget = sliced_max_tiles(sizes, nprobe, slices, bt)
+        if budget is None:
+            continue  # gate chose the dense walk: nothing to bound
+        nonempty = np.flatnonzero(sizes > 0)
+        u = min(len(nonempty), bt * nprobe)
+        for _ in range(50):
+            probe = trng.choice(nonempty, size=u, replace=False)
+            for s, e in slices:
+                tiles = set()
+                for cl in probe:
+                    lo, hi = max(off[cl], s), min(off[cl + 1], e)
+                    if hi > lo:
+                        tiles.update(
+                            range((lo - s) // TN, (hi - 1 - s) // TN + 1)
+                        )
+                assert len(tiles) <= budget, (trial, s, e, len(tiles), budget)
+
+
+def test_sharded_fused_compaction_matches_disabled(rng, monkeypatch):
+    """The sharded wrapper's per-slab compaction budget (sliced_max_tiles)
+    must leave results identical to the dense tile walk on every shard."""
+    import rabitq_tpu.parallel.sharding as sh
+
+    data, centroids, assign = _compact_geometry(rng)
+    index = IvfRabitqIndex.train_with_clusters(
+        data, centroids, assign, total_bits=5, seed=3,
+        use_faster_config=True, scan_dtype="fused",
+    )
+    mesh = sh.make_mesh(8)
+    sharded = sh.ShardedIvfIndex(index, mesh)
+    params = SearchParams(top_k=5, nprobe=2)
+    queries = data[::7777][:8].copy()
+    assert sharded._fused_max_tiles(params.nprobe, 8) is not None
+    ids_c, dist_c = sharded.batch_search_arrays(queries, params)
+
+    monkeypatch.setenv("RABITQ_FUSED_COMPACT", "0")
+    sharded._max_tiles_cache = {}
+    assert sharded._fused_max_tiles(params.nprobe, 8) is None
+    ids_d, dist_d = sharded.batch_search_arrays(queries, params)
+    np.testing.assert_array_equal(ids_c, ids_d)
+    np.testing.assert_allclose(dist_c, dist_d, rtol=1e-5, atol=1e-5)
+
+
+def test_streamed_fused_compaction_matches_disabled(rng, monkeypatch):
+    """The streamed tier's per-chunk compaction budget must leave results
+    identical to the dense walk on every chunk (chunk-local bounds: the
+    whole-index bound used to exceed a chunk's tile count and disable
+    compaction outright)."""
+    from rabitq_tpu.index.streaming import StreamedIvfIndex
+
+    data, centroids, assign = _compact_geometry(rng)
+    index = IvfRabitqIndex.train_with_clusters(
+        data, centroids, assign, total_bits=5, seed=3,
+        use_faster_config=True, scan_dtype="fused",
+    )
+    streamed = StreamedIvfIndex(index, chunk_rows=16 * TN)
+    assert streamed.n_chunks > 1
+    params = SearchParams(top_k=5, nprobe=2)
+    queries = data[::3333][:8].copy()
+    assert streamed._fused_max_tiles(params.nprobe, 8) is not None
+    ids_c, dist_c = streamed.batch_search_arrays(queries, params)
+
+    monkeypatch.setenv("RABITQ_FUSED_COMPACT", "0")
+    streamed._max_tiles_cache = {}
+    assert streamed._fused_max_tiles(params.nprobe, 8) is None
+    ids_d, dist_d = streamed.batch_search_arrays(queries, params)
+    np.testing.assert_array_equal(ids_c, ids_d)
+    np.testing.assert_allclose(dist_c, dist_d, rtol=1e-5, atol=1e-5)
