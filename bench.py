@@ -133,6 +133,11 @@ def recall_at_k(ids, gt):
 
 
 def main():
+    from rabitq_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        log(f"compile cache: {cache_dir}")
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--queries", type=int, default=2048)

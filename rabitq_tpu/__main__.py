@@ -264,6 +264,9 @@ def cmd_sweep(args):
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # skip repeat tunnel compiles across runs
     ap = argparse.ArgumentParser(prog="rabitq_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
