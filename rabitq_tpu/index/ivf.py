@@ -501,6 +501,7 @@ class IvfRabitqIndex:
         params: SearchParams,
         batch_size: int = 1024,
         filter_ids: np.ndarray | None = None,
+        upload_block: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Array search over many fixed-size blocks with upload/compute
         overlap — the serving-loop analogue of the streamed tier's double
@@ -512,6 +513,13 @@ class IvfRabitqIndex:
         approaches ``max(total_upload, total_compute)`` instead of their
         sum. Results are identical to ``batch_search_arrays``; all blocks
         share one compiled program (fixed block shape).
+
+        ``upload_block`` (>= batch_size) decouples put granularity from
+        dispatch granularity: queries transfer in superblocks of that many
+        rows (one ``device_put`` each) while scans still run per
+        ``batch_size`` window, sliced on device at a traced offset. The
+        tunnel's fixed per-put cost then amortizes over
+        ``upload_block/batch_size`` dispatches.
         """
         if self.is_empty:
             raise EmptyIndex()
@@ -526,18 +534,43 @@ class IvfRabitqIndex:
             )
         dev, packed, row_allowed = self._scan_inputs(filter_ids)
         bs = _pad_pow2(min(batch_size, _pad_pow2(b_total)))
-        starts = list(range(0, b_total, bs))
+        if upload_block is not None:
+            ub = _pad_pow2(min(max(upload_block, bs), _pad_pow2(b_total)))
+            starts = list(range(0, b_total, ub))
 
-        def _stage(s):
-            return jax.device_put(self._pad_queries(queries[s : s + bs], bs))
+            def _stage(s):
+                return jax.device_put(
+                    self._pad_queries(queries[s : s + ub], ub)
+                )
 
-        pending = []
-        staged = _stage(starts[0])
-        for i in range(len(starts)):
-            cur, staged = staged, None
-            if i + 1 < len(starts):
-                staged = _stage(starts[i + 1])  # overlaps this block's scan
-            pending.append(self._dispatch_scan(cur, params, dev, packed, row_allowed))
+            pending = []
+            staged = _stage(starts[0])
+            for i, s in enumerate(starts):
+                cur, staged = staged, None
+                if i + 1 < len(starts):
+                    staged = _stage(starts[i + 1])
+                for off in range(0, min(ub, b_total - s), bs):
+                    pending.append(
+                        self._dispatch_scan(
+                            cur, params, dev, packed, row_allowed,
+                            offset=np.int32(off), sub_block=bs,
+                        )
+                    )
+        else:
+            starts = list(range(0, b_total, bs))
+
+            def _stage(s):
+                return jax.device_put(self._pad_queries(queries[s : s + bs], bs))
+
+            pending = []
+            staged = _stage(starts[0])
+            for i in range(len(starts)):
+                cur, staged = staged, None
+                if i + 1 < len(starts):
+                    staged = _stage(starts[i + 1])  # overlaps this block's scan
+                pending.append(
+                    self._dispatch_scan(cur, params, dev, packed, row_allowed)
+                )
         fetched = jax.device_get(pending)
         # valid rows sit at the head of each block; only the last is short
         ids = np.concatenate([f[0] for f in fetched])[:b_total]
@@ -664,11 +697,22 @@ class IvfRabitqIndex:
             return q_i8, scale.astype(np.float32)
         return q, None
 
-    def _dispatch_scan(self, q_padded, params, dev, packed, row_allowed):
+    def _dispatch_scan(
+        self,
+        q_padded,
+        params,
+        dev,
+        packed,
+        row_allowed,
+        offset=None,
+        sub_block=None,
+    ):
         """Enqueue rotation+scan on a padded query block ((q, qscale) from
         ``_pad_queries``); returns device arrays (callers fetch — lets
-        serving loops pipeline)."""
+        serving loops pipeline). With ``sub_block``, ``q`` is a resident
+        upload superblock and the scan covers the window at ``offset``."""
         q, qscale = q_padded
+        b = sub_block if sub_block is not None else q.shape[0]
         return self._fused_scan(
             q,
             dev.centroids,
@@ -683,6 +727,8 @@ class IvfRabitqIndex:
             row_allowed,
             dev.ids,
             qscale=qscale,
+            offset=offset,
+            sub_block=sub_block,
             packed=packed,
             fused_cblk=self._fused_cblk,
             top_k=params.top_k,
@@ -692,7 +738,7 @@ class IvfRabitqIndex:
             ex_bits=self.ex_bits,
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
-            max_tiles=self._fused_max_tiles(params.nprobe, batch=q.shape[0]),
+            max_tiles=self._fused_max_tiles(params.nprobe, batch=b),
             probe_k=probe_k_bucket(params.nprobe, self.cluster_count(), self.scan_dtype),
         )
 

@@ -489,9 +489,20 @@ class MstgIndex:
             return q_i8, scale.astype(np.float32)
         return q, None
 
-    def _dispatch_scan(self, q_encoded, params, dev, packed, fused_cblk):
+    def _dispatch_scan(
+        self,
+        q_encoded,
+        params,
+        dev,
+        packed,
+        fused_cblk,
+        offset=None,
+        sub_block=None,
+    ):
         """Enqueue the MSTG scan on an encoded query block; returns device
-        arrays (callers fetch — lets serving loops pipeline).
+        arrays (callers fetch — lets serving loops pipeline). With
+        ``sub_block``, ``q`` is a resident upload superblock and the scan
+        covers the window at ``offset``.
 
         Closure dedup runs ON DEVICE before the fetch: the scan returns the
         full [B, rerank] replica set (rerank can be thousands at 1M scale),
@@ -509,11 +520,14 @@ class MstgIndex:
             params.resolved_rerank(),
             int(np.ceil(params.top_k * self.replication_factor())) + 16,
         )
+        b = sub_block if sub_block is not None else q.shape[0]
         ids, dists = self._fused_scan(
             q,
             dev.centroids,
             *dev.scan_args(),
             qscale=qscale,
+            offset=offset,
+            sub_block=sub_block,
             nprobe=jnp.int32(params.ef_search),
             prune_epsilon=jnp.float32(params.pruning_epsilon),
             packed=packed,
@@ -528,7 +542,7 @@ class MstgIndex:
             clamp_l2=True,
             centroid_select_l2=True,
             approx_topk=self.approx_topk,
-            max_tiles=self._fused_max_tiles(params.ef_search, batch=q.shape[0]),
+            max_tiles=self._fused_max_tiles(params.ef_search, batch=b),
             probe_k=probe_k_bucket(params.ef_search, self.posting_list_count(), self.scan_dtype),
         )
         return self._dedup_topk_device(ids, dists, top_k=params.top_k)
@@ -566,6 +580,7 @@ class MstgIndex:
         queries: np.ndarray,
         params: MstgSearchParams,
         batch_size: int = 256,
+        upload_block: int | None = None,
     ) -> list[list[SearchResult]]:
         """``batch_search`` over many fixed-size blocks with upload/compute
         overlap — the MSTG twin of
@@ -573,7 +588,8 @@ class MstgIndex:
         upload (async ``device_put``) is in flight while block i scans, and
         every block's small result is fetched at the end. Results are
         identical to ``batch_search``; all blocks share one compiled
-        program."""
+        program. ``upload_block`` decouples put granularity from dispatch
+        granularity exactly as on the IVF twin."""
         if self.total_rows == 0:
             raise EmptyIndex()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -586,20 +602,44 @@ class MstgIndex:
         dev = self.device
         packed, fused_cblk = self._scan_planes(dev)
         bs = _pad_pow2(min(batch_size, _pad_pow2(b_total)))
-        starts = list(range(0, b_total, bs))
-
-        def _stage(s):
-            return jax.device_put(self._encode_queries(queries[s : s + bs], bs))
-
         pending = []
-        staged = _stage(starts[0])
-        for i in range(len(starts)):
-            cur, staged = staged, None
-            if i + 1 < len(starts):
-                staged = _stage(starts[i + 1])  # overlaps this block's scan
-            pending.append(
-                self._dispatch_scan(cur, params, dev, packed, fused_cblk)
-            )
+        if upload_block is not None:
+            ub = _pad_pow2(min(max(upload_block, bs), _pad_pow2(b_total)))
+            starts = list(range(0, b_total, ub))
+
+            def _stage(s):
+                return jax.device_put(
+                    self._encode_queries(queries[s : s + ub], ub)
+                )
+
+            staged = _stage(starts[0])
+            for i, s in enumerate(starts):
+                cur, staged = staged, None
+                if i + 1 < len(starts):
+                    staged = _stage(starts[i + 1])
+                for off in range(0, min(ub, b_total - s), bs):
+                    pending.append(
+                        self._dispatch_scan(
+                            cur, params, dev, packed, fused_cblk,
+                            offset=np.int32(off), sub_block=bs,
+                        )
+                    )
+        else:
+            starts = list(range(0, b_total, bs))
+
+            def _stage(s):
+                return jax.device_put(
+                    self._encode_queries(queries[s : s + bs], bs)
+                )
+
+            staged = _stage(starts[0])
+            for i in range(len(starts)):
+                cur, staged = staged, None
+                if i + 1 < len(starts):
+                    staged = _stage(starts[i + 1])  # overlaps this block's scan
+                pending.append(
+                    self._dispatch_scan(cur, params, dev, packed, fused_cblk)
+                )
         fetched = jax.device_get(pending)
         ids = np.concatenate([f[0] for f in fetched])[:b_total]
         dists = np.concatenate([f[1] for f in fetched])[:b_total]

@@ -491,11 +491,24 @@ def make_fused_search(rotate_fn):
     for indexes that quantize in the original space (MSTG default).
     """
 
-    @functools.partial(jax.jit, static_argnames=_SCAN_STATIC)
-    def fused(q, *args, qscale=None, **kwargs):
+    @functools.partial(
+        jax.jit, static_argnames=_SCAN_STATIC + ("sub_block",)
+    )
+    def fused(q, *args, qscale=None, offset=None, sub_block=None, **kwargs):
         # accept bf16 (half) or symmetric-int8 (quarter) query uploads
         # (index.upload_dtype): fewer bytes over the host link; all math
         # stays f32 from here on. int8 carries a per-query scale.
+        if sub_block is not None:
+            # superblock serving: q is an UPLOAD block of many compute
+            # blocks resident on device; each dispatch scans the
+            # sub_block-query window at (traced) offset. Decouples put
+            # granularity from dispatch granularity — the tunnel's
+            # per-put overhead amortizes over the whole superblock.
+            q = jax.lax.dynamic_slice_in_dim(q, offset, sub_block, axis=0)
+            if qscale is not None:
+                qscale = jax.lax.dynamic_slice_in_dim(
+                    qscale, offset, sub_block, axis=0
+                )
         q = q.astype(jnp.float32)
         if qscale is not None:
             q = q * qscale[:, None]

@@ -308,6 +308,48 @@ def test_pipelined_search_matches_plain(rng):
     np.testing.assert_allclose(np.sort(dist_p, 1), np.sort(dist_r, 1), rtol=1e-5)
 
 
+def test_pipelined_superblock_upload_matches_plain(rng):
+    """upload_block decouples put granularity from dispatch granularity
+    (device-side dynamic_slice windows); results must equal the plain
+    path exactly, including a short tail superblock and int8 uploads."""
+    data = _dataset(rng, 1500, 64)
+    index = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=3, scan_dtype="f32")
+    queries = data[:300]
+    params = SearchParams(top_k=10, nprobe=8)
+    ids_r, dist_r = index.batch_search_arrays(queries, params)
+    for upload_dtype in ("f32", "int8"):
+        index.upload_dtype = upload_dtype
+        ids_p, dist_p = index.batch_search_arrays_pipelined(
+            queries, params, batch_size=64, upload_block=256
+        )
+        assert ids_p.shape == ids_r.shape == (300, 10)
+        if upload_dtype == "f32":
+            for i in range(300):
+                assert set(ids_p[i].tolist()) == set(ids_r[i].tolist()), i
+            np.testing.assert_allclose(
+                np.sort(dist_p, 1), np.sort(dist_r, 1), rtol=1e-5
+            )
+        else:  # int8 rounds the query; demand near-total agreement
+            agree = np.mean(
+                [
+                    len(set(ids_p[i].tolist()) & set(ids_r[i].tolist())) / 10
+                    for i in range(300)
+                ]
+            )
+            assert agree >= 0.98, agree
+    index.upload_dtype = "f32"
+
+    # fused path: the dispatch's max_tiles bucket must key on the
+    # sub-block size, not the resident superblock's
+    index.scan_dtype = "fused"
+    ids_f, _ = index.batch_search_arrays(queries, params)
+    ids_fp, _ = index.batch_search_arrays_pipelined(
+        queries, params, batch_size=64, upload_block=256
+    )
+    for i in range(300):
+        assert set(ids_fp[i].tolist()) == set(ids_f[i].tolist()), i
+
+
 @pytest.mark.parametrize("upload", ["bf16", "int8"])
 def test_reduced_precision_query_upload_recall(upload, rng):
     """upload_dtype='bf16'/'int8' (half / quarter the query bytes over the

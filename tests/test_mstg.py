@@ -432,6 +432,13 @@ def test_mstg_pipelined_and_upload_encodings(rng):
     assert [[r.id for r in row] for row in piped] == [
         [r.id for r in row] for row in ref
     ]
+    # superblock uploads (put granularity > dispatch granularity)
+    superblocked = index.batch_search_pipelined(
+        queries, params, batch_size=16, upload_block=64
+    )
+    assert [[r.id for r in row] for row in superblocked] == [
+        [r.id for r in row] for row in ref
+    ]
     for upload in ("bf16", "int8"):
         index.upload_dtype = upload
         got = index.batch_search(queries, params)
