@@ -507,19 +507,23 @@ class IvfRabitqIndex:
         overlap — the serving-loop analogue of the streamed tier's double
         buffering.
 
-        Block i+1's query upload (async ``device_put``) is in flight while
-        block i's scan runs, and every block's small ``[batch, k]`` result
-        is fetched in ONE final ``device_get``, so end-to-end time
-        approaches ``max(total_upload, total_compute)`` instead of their
-        sum. Results are identical to ``batch_search_arrays``; all blocks
-        share one compiled program (fixed block shape).
+        Every put and dispatch is async: the loop issues block i's upload
+        immediately followed by its scan, and fetches every block's small
+        ``[batch, k]`` result in ONE final ``device_get`` — uploads and
+        scans of different blocks overlap in the runtime without any
+        client-side staging. (An earlier version staged block i+1's put
+        BEFORE dispatching block i; on the serialized tunnel service
+        queue that only delays dispatches — measured eager 13569 vs
+        staged 12782 median QPS at the 1M headline point, and the
+        superblock/puts-first orderings are worse still, BENCHMARKS.md
+        "Dispatch ordering".) Results are identical to
+        ``batch_search_arrays``; all blocks share one compiled program.
 
         ``upload_block`` (>= batch_size) decouples put granularity from
         dispatch granularity: queries transfer in superblocks of that many
         rows (one ``device_put`` each) while scans still run per
-        ``batch_size`` window, sliced on device at a traced offset. The
-        tunnel's fixed per-put cost then amortizes over
-        ``upload_block/batch_size`` dispatches.
+        ``batch_size`` window, sliced on device at a traced offset.
+        Measured SLOWER than put==dispatch (kept for experiments).
         """
         if self.is_empty:
             raise EmptyIndex()
@@ -534,21 +538,11 @@ class IvfRabitqIndex:
             )
         dev, packed, row_allowed = self._scan_inputs(filter_ids)
         bs = _pad_pow2(min(batch_size, _pad_pow2(b_total)))
+        pending = []
         if upload_block is not None:
             ub = _pad_pow2(min(max(upload_block, bs), _pad_pow2(b_total)))
-            starts = list(range(0, b_total, ub))
-
-            def _stage(s):
-                return jax.device_put(
-                    self._pad_queries(queries[s : s + ub], ub)
-                )
-
-            pending = []
-            staged = _stage(starts[0])
-            for i, s in enumerate(starts):
-                cur, staged = staged, None
-                if i + 1 < len(starts):
-                    staged = _stage(starts[i + 1])
+            for s in range(0, b_total, ub):
+                cur = jax.device_put(self._pad_queries(queries[s : s + ub], ub))
                 for off in range(0, min(ub, b_total - s), bs):
                     pending.append(
                         self._dispatch_scan(
@@ -557,17 +551,8 @@ class IvfRabitqIndex:
                         )
                     )
         else:
-            starts = list(range(0, b_total, bs))
-
-            def _stage(s):
-                return jax.device_put(self._pad_queries(queries[s : s + bs], bs))
-
-            pending = []
-            staged = _stage(starts[0])
-            for i in range(len(starts)):
-                cur, staged = staged, None
-                if i + 1 < len(starts):
-                    staged = _stage(starts[i + 1])  # overlaps this block's scan
+            for s in range(0, b_total, bs):
+                cur = jax.device_put(self._pad_queries(queries[s : s + bs], bs))
                 pending.append(
                     self._dispatch_scan(cur, params, dev, packed, row_allowed)
                 )

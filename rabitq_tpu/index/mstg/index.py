@@ -584,12 +584,14 @@ class MstgIndex:
     ) -> list[list[SearchResult]]:
         """``batch_search`` over many fixed-size blocks with upload/compute
         overlap — the MSTG twin of
-        ``IvfRabitqIndex.batch_search_arrays_pipelined``: block i+1's query
-        upload (async ``device_put``) is in flight while block i scans, and
-        every block's small result is fetched at the end. Results are
-        identical to ``batch_search``; all blocks share one compiled
-        program. ``upload_block`` decouples put granularity from dispatch
-        granularity exactly as on the IVF twin."""
+        ``IvfRabitqIndex.batch_search_arrays_pipelined``: every put and
+        dispatch is async (eager issue order — see the IVF twin's
+        docstring for the measured ordering comparison), and every block's
+        small result is fetched at the end. Results are identical to
+        ``batch_search``; all blocks share one compiled program.
+        ``upload_block`` decouples put granularity from dispatch
+        granularity exactly as on the IVF twin (measured slower; kept for
+        experiments)."""
         if self.total_rows == 0:
             raise EmptyIndex()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -605,18 +607,8 @@ class MstgIndex:
         pending = []
         if upload_block is not None:
             ub = _pad_pow2(min(max(upload_block, bs), _pad_pow2(b_total)))
-            starts = list(range(0, b_total, ub))
-
-            def _stage(s):
-                return jax.device_put(
-                    self._encode_queries(queries[s : s + ub], ub)
-                )
-
-            staged = _stage(starts[0])
-            for i, s in enumerate(starts):
-                cur, staged = staged, None
-                if i + 1 < len(starts):
-                    staged = _stage(starts[i + 1])
+            for s in range(0, b_total, ub):
+                cur = jax.device_put(self._encode_queries(queries[s : s + ub], ub))
                 for off in range(0, min(ub, b_total - s), bs):
                     pending.append(
                         self._dispatch_scan(
@@ -625,18 +617,8 @@ class MstgIndex:
                         )
                     )
         else:
-            starts = list(range(0, b_total, bs))
-
-            def _stage(s):
-                return jax.device_put(
-                    self._encode_queries(queries[s : s + bs], bs)
-                )
-
-            staged = _stage(starts[0])
-            for i in range(len(starts)):
-                cur, staged = staged, None
-                if i + 1 < len(starts):
-                    staged = _stage(starts[i + 1])  # overlaps this block's scan
+            for s in range(0, b_total, bs):
+                cur = jax.device_put(self._encode_queries(queries[s : s + bs], bs))
                 pending.append(
                     self._dispatch_scan(cur, params, dev, packed, fused_cblk)
                 )
