@@ -77,17 +77,38 @@ class MstgIndex:
         self,
         config: MstgConfig,
         dim: int,
-        host: MstgHost,
+        host: MstgHost | None,
         scan_dtype: str = "bf16",
         approx_topk: bool | None = None,
         rotator=None,
+        *,
+        _meta: dict | None = None,
+        _codes_dev: dict | None = None,
     ):
         self.config = config
         self.dim = dim  # original (query) dimension
         self.rotator = rotator  # optional FhtKac (config.use_rotator)
         # quantization-space dimension: padded when rotating
         self.quant_dim = rotator.padded_dim if rotator is not None else dim
-        self.host = host
+        # Host codes are LAZY for device-built indexes (``host=None`` +
+        # ``_codes_dev``): the big code planes stay device-resident from
+        # build_codes_device and materialize host-side only on demand
+        # (save/fetch/mode switch) — the build path transfers the dataset
+        # exactly once, like IvfRabitqIndex (CLAUDE.md invariant; this cut
+        # ~200 s of plane downloads from the 1M MSTG build).
+        self._host = host
+        if host is not None:
+            self._ids = host.ids
+            self._offsets = host.list_offsets
+            self._centroids_np = host.centroids
+            self._small = None
+        else:
+            assert _meta is not None and _codes_dev is not None
+            self._ids = _meta["ids"]
+            self._offsets = _meta["list_offsets"]
+            self._centroids_np = _meta["centroids"]
+            self._small = _meta["small"]  # [R] per-row fields for MstgHost
+        self._codes_dev = _codes_dev
         self.scan_dtype = scan_dtype
         self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
         # query upload encoding for serving ("f32" | "bf16" | "int8") —
@@ -100,8 +121,62 @@ class MstgIndex:
             rotator.rotate if rotator is not None else None
         )
         # disk-tier scaffolding (mstg/metadata.rs parity); all lists resident
-        row_bytes = host.binary_bits.shape[1] * 2 if host.binary_bits.size else 0
-        self.directory = PostingListDirectory.from_offsets(host.list_offsets, row_bytes)
+        row_bytes = self.quant_dim * 2 if self._ids.size else 0
+        self.directory = PostingListDirectory.from_offsets(self._offsets, row_bytes)
+
+    @property
+    def host(self) -> MstgHost:
+        """Host code arrays; device-built indexes download them on first
+        access (inverse of the device layout's row permutation)."""
+        if self._host is None:
+            self._host = self._download_host()
+        return self._host
+
+    @host.setter
+    def host(self, value: MstgHost) -> None:
+        self._host = value
+        self._ids = value.ids
+        self._offsets = value.list_offsets
+        self._centroids_np = value.centroids
+
+    def _download_host(self, dev=None) -> MstgHost:
+        """Materialize MstgHost from the device layout (the [R] per-row
+        scalar fields were kept host-side at build; only the big code
+        planes transfer). Mirrors ``IvfRabitqIndex._download_host``."""
+        from ..scan import ex_plane_is_total
+
+        dev = dev if dev is not None else self.device
+        ex_bits = self.config.rabitq_bits - 1
+        n = self.total_rows
+        perm = np.asarray(dev.perm)
+        pos_of_row = np.empty_like(perm)
+        pos_of_row[perm] = np.arange(perm.shape[0])
+        take = jnp.asarray(pos_of_row[:n])
+        ex = np.asarray(jnp.take(dev.ex, take, axis=0)).astype(np.int32)
+        if dev.binary is not None:
+            binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(
+                np.uint8
+            )
+        else:  # fused layout: refine plane holds TOTAL codes
+            binary = (ex >> ex_bits).astype(np.uint8)
+        if ex_plane_is_total(ex_bits):
+            ex = ex - (binary.astype(np.int32) << ex_bits)
+        s = self._small
+        return MstgHost(
+            binary_bits=binary,
+            ex_codes=ex.astype(np.uint16),
+            f_add=s["f_add"],
+            f_rescale=s["f_rescale"],
+            f_add_ex=s["f_add_ex"],
+            f_rescale_ex=s["f_rescale_ex"],
+            delta=s["delta"],
+            vl=s["vl"],
+            ids=self._ids,
+            list_offsets=self._offsets,
+            centroids=self._centroids_np,
+            f_error=s["f_error"],
+            residual_norm=s["residual_norm"],
+        )
 
     # ------------------------------------------------------------------
 
@@ -194,7 +269,7 @@ class MstgIndex:
             [m.size for m in members],
         )
 
-        from ..build import build_codes, exact_t_rows
+        from ..build import build_codes_device, exact_t_rows
 
         if ex_bits > 0 and not config.faster_config:
             # reference default: exact per-vector t sweep (quantizer.rs:332)
@@ -208,7 +283,7 @@ class MstgIndex:
                     centroids_rotated=centroids,
                 )
         with timed(f"quantize rows={total_rows}", _log):
-            codes = build_codes(
+            codes_dev, m = build_codes_device(
                 data_dev,
                 centroids,
                 row_list,
@@ -220,50 +295,55 @@ class MstgIndex:
                 t_rows=t_rows,
                 order=ids,  # closure-replicated rows gathered on device
             )
-        host = MstgHost(
-            binary_bits=codes["binary"],
-            ex_codes=codes["ex"],
-            f_add=codes["f_add"],
-            f_rescale=codes["f_rescale"],
-            f_add_ex=codes["f_add_ex"],
-            f_rescale_ex=codes["f_rescale_ex"],
-            delta=codes["delta"],
-            vl=codes["vl"],
-            ids=ids,
-            list_offsets=offsets,
-            centroids=centroids,
-            f_error=codes["f_error"],
-            residual_norm=codes["residual_norm"],
+            # only the small [R] per-row fields come down now; the big code
+            # planes stay device-resident and feed assemble_device_layout
+            # directly (host copies are lazy — save/fetch/mode switch)
+            small = {
+                k: np.asarray(codes_dev[k])[:m]
+                for k in (
+                    "f_add", "f_rescale", "f_error", "f_add_ex",
+                    "f_rescale_ex", "delta", "vl", "residual_norm",
+                )
+            }
+        meta = {
+            "ids": ids,
+            "list_offsets": offsets,
+            "centroids": centroids,
+            "small": small,
+        }
+        return cls(
+            config, orig_dim, None, scan_dtype, rotator=rotator,
+            _meta=meta, _codes_dev=codes_dev,
         )
-        return cls(config, orig_dim, host, scan_dtype, rotator=rotator)
 
     # ------------------------------------------------------------------
 
     def __len__(self) -> int:
         """Number of distinct indexed vectors."""
-        if self.host.ids.size == 0:
+        if self._ids.size == 0:
             return 0
-        return int(self.host.ids.max()) + 1
+        return int(self._ids.max()) + 1
 
     @property
     def total_rows(self) -> int:
-        return int(self.host.ids.shape[0])
+        return int(self._ids.shape[0])
 
     def posting_list_count(self) -> int:
-        return int(self.host.list_offsets.shape[0] - 1)
+        return int(self._offsets.shape[0] - 1)
 
     def replication_factor(self) -> float:
         n = len(self)
         return self.total_rows / max(n, 1)
 
     def memory_usage(self) -> int:
-        """Rough device-resident bytes (mirrors ``mstg/index.rs:143-147``)."""
-        h = self.host
-        code_bytes = h.binary_bits.size + h.ex_codes.size  # int8 planes
-        factor_bytes = 6 * 4 * h.ids.size
+        """Rough device-resident bytes (mirrors ``mstg/index.rs:143-147``);
+        computed from shapes only (never forces the lazy host download)."""
+        r = int(self._ids.shape[0])
+        code_bytes = 2 * r * self.quant_dim  # binary + ex int8 planes
+        factor_bytes = 6 * 4 * r
         cent_bytes = int(
-            h.centroids.shape[0]
-            * h.centroids.shape[1]
+            self._centroids_np.shape[0]
+            * self._centroids_np.shape[1]
             * self.config.centroid_precision.bytes_per_dim
         )
         return code_bytes + factor_bytes + cent_bytes
@@ -280,12 +360,12 @@ class MstgIndex:
 
         if not is_fused(self.scan_dtype):
             return
-        key = id(self.host.list_offsets)
+        key = id(self._offsets)
         cache = getattr(self, "_fused_ok_cache", None)
         if cache is None or cache[0] != key:
             from ...ops.pallas_fused_scan import fused_geometry_ok
 
-            cache = (key, fused_geometry_ok(np.diff(self.host.list_offsets)))
+            cache = (key, fused_geometry_ok(np.diff(self._offsets)))
             self._fused_ok_cache = cache
         if not cache[1]:
             from ...utils.logging import get_logger
@@ -319,13 +399,13 @@ class MstgIndex:
         from ..layout import pad_rows
 
         bt = TB if batch is None else min(TB, ((int(batch) + 31) // 32) * 32)
-        key = (id(self.host.list_offsets), int(ef_search), bt)
+        key = (id(self._offsets), int(ef_search), bt)
         cache = getattr(self, "_max_tiles_cache", None)
         if cache is None:
             cache = self._max_tiles_cache = {}
         if key not in cache:
             n_tiles = pad_rows(self.total_rows, TN) // TN
-            sizes = np.diff(self.host.list_offsets)
+            sizes = np.diff(self._offsets)
             exp = expected_tile_cost(sizes, int(ef_search), batch_tile=bt)
             if exp >= 0.6 * n_tiles:
                 cache[key] = None  # most tiles probed anyway: dense walk
@@ -337,11 +417,13 @@ class MstgIndex:
     @property
     def device(self):
         if self._device is not None and getattr(self, "_device_mode", None) != self._layout_mode():
-            self._device = None  # MSTG is host-built: just re-assemble
+            if self._host is None:
+                # capture host codes from the OLD layout before dropping it
+                self._host = self._download_host(self._device)
+            self._device = None  # re-assemble in the new mode
             self._packed = None
             self._fused_cblk = None
         if self._device is None:
-            h = self.host
             from ..layout import assemble_device_layout
 
             kwargs = {}
@@ -355,20 +437,33 @@ class MstgIndex:
                     "row_pad": TN,
                     "keep_binary": not self.config.refine_ex,
                 }
+            if self._host is None and self._codes_dev is not None:
+                # device-built: assemble straight from the build outputs
+                # (no host round trip; layout.py trims the chunk padding)
+                c = self._codes_dev
+                src = {
+                    "binary": c["binary"], "ex": c["ex"],
+                    "f_add": c["f_add"], "f_rescale": c["f_rescale"],
+                    "f_add_ex": c["f_add_ex"],
+                    "f_rescale_ex": c["f_rescale_ex"],
+                }
+                self._codes_dev = None  # layout holds the data from here on
+            else:
+                h = self.host
+                src = {
+                    "binary": h.binary_bits, "ex": h.ex_codes,
+                    "f_add": h.f_add, "f_rescale": h.f_rescale,
+                    "f_add_ex": h.f_add_ex, "f_rescale_ex": h.f_rescale_ex,
+                }
             self._device = assemble_device_layout(
                 n=self.total_rows,
                 ex_bits=self.config.rabitq_bits - 1,
-                binary=h.binary_bits,
-                ex=h.ex_codes,
-                f_add=h.f_add,
-                f_rescale=h.f_rescale,
-                f_add_ex=h.f_add_ex,
-                f_rescale_ex=h.f_rescale_ex,
-                cluster_sizes=np.diff(h.list_offsets),
-                ids=h.ids,
-                centroids=h.centroids,
+                cluster_sizes=np.diff(self._offsets),
+                ids=self._ids,
+                centroids=self._centroids_np,
                 # reference MSTG zeroes f_error in its scan (mstg/index.rs:285)
                 zero_f_error=True,
+                **src,
                 **kwargs,
             )
             self._device_mode = self._layout_mode()
@@ -468,7 +563,7 @@ class MstgIndex:
                 from ..layout import cluster_of_rows
 
                 n_pad = int(dev.ids.shape[0])
-                cl = cluster_of_rows(np.diff(self.host.list_offsets), n_pad)
+                cl = cluster_of_rows(np.diff(self._offsets), n_pad)
                 valid = np.arange(n_pad) < self.total_rows
                 self._fused_cblk = jnp.asarray(tile_cluster_blocks(cl, valid))
             fused_cblk = self._fused_cblk

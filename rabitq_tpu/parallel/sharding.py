@@ -552,7 +552,7 @@ class ShardedMstgIndex:
         """Per-SHARD probed-tile budget (see ShardedIvfIndex's twin)."""
         return _sliced_fused_max_tiles(
             self,
-            np.diff(self.index.host.list_offsets),
+            np.diff(self.index._offsets),  # metadata: no lazy host download
             ef_search,
             batch,
             fused=self._fused,

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--rerank", type=int, default=400)
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--scan-dtype", default="fused8")
+    ap.add_argument(
+        "--index-path", default="",
+        help="load a saved index (e.g. data/probe_1m.rbq) instead of building",
+    )
     args = ap.parse_args()
 
     import jax
@@ -60,12 +64,17 @@ def main():
     )
 
     t0 = time.time()
-    index = IvfRabitqIndex.train(
-        data, nlist=args.nlist, total_bits=7, metric=Metric.L2,
-        rotator_type=RotatorType.FhtKacRotator, seed=42, use_faster_config=True,
-        scan_dtype=args.scan_dtype,
-    )
-    log(f"build: {time.time()-t0:.1f}s")
+    if args.index_path and os.path.exists(args.index_path):
+        index = IvfRabitqIndex.load_from_path(args.index_path)
+        index.scan_dtype = args.scan_dtype
+        log(f"load: {time.time()-t0:.1f}s")
+    else:
+        index = IvfRabitqIndex.train(
+            data, nlist=args.nlist, total_bits=7, metric=Metric.L2,
+            rotator_type=RotatorType.FhtKacRotator, seed=42,
+            use_faster_config=True, scan_dtype=args.scan_dtype,
+        )
+        log(f"build: {time.time()-t0:.1f}s")
 
     dev, packed, row_allowed = index._scan_inputs(None)
     b_pad = 1 << (args.batch - 1).bit_length()
