@@ -172,6 +172,61 @@ def test_mstg_memory_usage(rng):
     assert index.posting_list_count() >= 3
 
 
+def test_mstg_lazy_host_download(rng):
+    """Device-built indexes keep the big code planes device-resident
+    (``host=None``) until something actually needs host bytes; the lazy
+    ``_download_host`` inversion must reproduce exactly what an
+    eagerly-constructed index computes (search parity + code-plane
+    invariants), and metadata accessors must not force the download."""
+    data = _data(rng, 1200, 32)
+    cfg = MstgConfig(max_posting_size=250, branching_factor=4, rabitq_bits=7)
+    index = MstgIndex.build(data, cfg, scan_dtype="f32")
+    assert index._host is None  # build keeps planes on device
+
+    # metadata + search do not materialize host copies
+    params = MstgSearchParams(ef_search=200, pruning_epsilon=3.0, top_k=10)
+    _ = (len(index), index.total_rows, index.posting_list_count(),
+         index.memory_usage(), index.replication_factor())
+    res_lazy = index.batch_search(data[:8], params)
+    assert index._host is None
+
+    # first .host access downloads; planes obey the code-format invariants
+    h = index.host
+    assert index._host is not None
+    assert h.binary_bits.dtype == np.uint8 and set(np.unique(h.binary_bits)) <= {0, 1}
+    ex_bits = cfg.rabitq_bits - 1
+    assert h.ex_codes.max() < (1 << ex_bits)
+    assert h.binary_bits.shape == (index.total_rows, index.quant_dim)
+
+    # an index constructed EAGERLY from the downloaded host must search
+    # identically (the download inverted the device layout correctly)
+    eager = MstgIndex(cfg, index.dim, h, scan_dtype="f32", rotator=index.rotator)
+    res_eager = eager.batch_search(data[:8], params)
+    for a, b in zip(res_lazy, res_eager):
+        assert [x.id for x in a] == [x.id for x in b]
+        np.testing.assert_allclose(
+            [x.score for x in a], [x.score for x in b], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_mstg_lazy_host_mode_switch(rng):
+    """Switching scan_dtype on a device-built index re-assembles the
+    layout; the host capture from the OLD layout must keep results
+    consistent across modes."""
+    data = _data(rng, 1000, 32)
+    cfg = MstgConfig(max_posting_size=250, branching_factor=4, rabitq_bits=7)
+    index = MstgIndex.build(data, cfg, scan_dtype="bf16")
+    params = MstgSearchParams(ef_search=300, pruning_epsilon=3.0, top_k=10)
+    res_a = index.batch_search(data[:8], params)
+    index.scan_dtype = "f32"
+    res_b = index.batch_search(data[:8], params)
+    overlap = np.mean([
+        len({h.id for h in a} & {h.id for h in b}) / 10
+        for a, b in zip(res_a, res_b)
+    ])
+    assert overlap >= 0.9, overlap
+
+
 def test_mstg_returns_full_topk_under_replication(rng):
     """Regression: cross-list dedup must not shorten results when closure
     replication is high. Boundary vectors (midpoints between far-apart
