@@ -47,6 +47,15 @@ def main():
         "--index-path", default="",
         help="load a saved index (e.g. data/probe_1m.rbq) instead of building",
     )
+    ap.add_argument(
+        "--save-index", default="",
+        help="after building, save the index here for future probe runs",
+    )
+    ap.add_argument(
+        "--prep-detail", action="store_true",
+        help="also time cumulative prep sub-stages (rotation, g-terms, "
+        "centroid top_k, probe-mask scatter, locality argsort)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,6 +84,10 @@ def main():
             use_faster_config=True, scan_dtype=args.scan_dtype,
         )
         log(f"build: {time.time()-t0:.1f}s")
+        if args.save_index:
+            t0 = time.time()
+            index.save_to_path(args.save_index)
+            log(f"save {args.save_index}: {time.time()-t0:.1f}s")
 
     dev, packed, row_allowed = index._scan_inputs(None)
     b_pad = 1 << (args.batch - 1).bit_length()
@@ -178,7 +191,73 @@ def main():
         log(f"{name:>12}: {ms:8.2f} ms")
         return ms
 
+    prep_detail = {}
+    if args.prep_detail:
+        # Cumulative sub-programs (each extends the previous; differences
+        # isolate a stage). Tiny reduced outputs keep XLA from dead-code
+        # eliminating the heavy intermediates.
+        @jax.jit
+        def p_rot(q):
+            q_rot = rotate(q)
+            return jnp.sum(q_rot)
+
+        @jax.jit
+        def p_gterms(q):
+            q_rot = rotate(q)
+            qc = est_ops.query_constants(q_rot, ex_bits)
+            g_add, g_error, sq_dist, _ = est_ops.g_terms(
+                q_rot, dev.centroids, metric
+            )
+            return jnp.sum(q_rot) + qc.k1x_sum_q.sum() + g_add.sum() + (
+                g_error.sum() + sq_dist.sum()
+            )
+
+        @jax.jit
+        def p_topk(q):
+            q_rot = rotate(q)
+            qc = est_ops.query_constants(q_rot, ex_bits)
+            g_add, g_error, sq_dist, _ = est_ops.g_terms(
+                q_rot, dev.centroids, metric
+            )
+            ranked_sel, ranked = jax.lax.top_k(-sq_dist, k_sel)
+            return jnp.sum(q_rot) + g_add.sum() + g_error.sum() + (
+                qc.k1x_sum_q.sum() + ranked_sel.sum() + jnp.sum(ranked)
+            )
+
+        @jax.jit
+        def p_scatter(q):
+            q_rot = rotate(q)
+            qc = est_ops.query_constants(q_rot, ex_bits)
+            g_add, g_error, sq_dist, _ = est_ops.g_terms(
+                q_rot, dev.centroids, metric
+            )
+            ranked_sel, ranked = jax.lax.top_k(-sq_dist, k_sel)
+            b = q.shape[0]
+            within = jnp.broadcast_to(
+                jnp.arange(k_sel, dtype=jnp.int32)[None, :] < nprobe, (b, k_sel)
+            )
+            probe_mask = jnp.zeros((b, n_clusters), jnp.bool_)
+            probe_mask = probe_mask.at[
+                jnp.arange(b)[:, None], ranked
+            ].max(within)
+            return jnp.sum(q_rot) + g_add.sum() + g_error.sum() + (
+                qc.k1x_sum_q.sum() + ranked_sel.sum()
+            ) + jnp.sum(probe_mask, dtype=jnp.int32).astype(jnp.float32)
+
+        ms_rot = timeit("rot", p_rot)
+        ms_gterms = timeit("rot+gterms", p_gterms)
+        ms_topk = timeit("..+topk", p_topk)
+        ms_scatter = timeit("..+scatter", p_scatter)
+        prep_detail = {
+            "rot_ms": round(ms_rot, 2),
+            "gterms_ms": round(ms_gterms - ms_rot, 2),
+            "topk_ms": round(ms_topk - ms_gterms, 2),
+            "scatter_ms": round(ms_scatter - ms_topk, 2),
+        }
+
     ms_prep = timeit("prep", prep_only)
+    if args.prep_detail:
+        prep_detail["argsort_ms"] = round(ms_prep - ms_scatter, 2)
     ms_select = timeit("prep+select", select_only)
     cand_idx, cand_ok = select_only(q_dev)
     jax.block_until_ready((cand_idx, cand_ok))
@@ -187,6 +266,7 @@ def main():
 
     print(
         {
+            **prep_detail,
             "prep_ms": round(ms_prep, 2),
             "select_ms": round(ms_select - ms_prep, 2),
             "stage2_by_diff_ms": round(ms_full - ms_select, 2),
