@@ -97,6 +97,24 @@ def load_or_make_workload(rows, n_queries, dim, n_centers, rng):
     return data, queries
 
 
+def gt_cache_paths(rows, dim, nlist, queries, top_k):
+    """(preferred, fallback) groundtruth cache paths for a bench config.
+
+    Single source of truth for the cache key — tools/rebuild_bench_cache.py
+    imports this so the two can never drift.
+    """
+    key = hashlib.sha1(
+        f"{rows}-{dim}-{nlist}-{queries}-{top_k}-v4".encode()
+    ).hexdigest()[:16]
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "bench_cache"
+    )
+    return (
+        os.path.join(cache_dir, f"gt_{key}.npy"),
+        f"/tmp/rabitq_bench_gt_{key}.npy",
+    )
+
+
 def exact_groundtruth(data, queries, k, block=50_000):
     import jax
     import jax.numpy as jnp
@@ -187,14 +205,10 @@ def main():
     # groundtruth is deterministic given the config; cache it across runs
     # (preferred home: data/bench_cache next to the workload cache; /tmp
     # kept as a fallback read location for pre-existing caches)
-    cache_key = hashlib.sha1(
-        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v4".encode()
-    ).hexdigest()[:16]
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "data", "bench_cache"
+    cache_path, tmp_path = gt_cache_paths(
+        args.rows, args.dim, args.nlist, args.queries, args.top_k
     )
-    cache_path = os.path.join(cache_dir, f"gt_{cache_key}.npy")
-    tmp_path = f"/tmp/rabitq_bench_gt_{cache_key}.npy"
+    cache_dir = os.path.dirname(cache_path)
     if os.path.exists(cache_path):
         gt = np.load(cache_path)
         log(f"groundtruth: cached ({cache_path})")
@@ -304,6 +318,10 @@ def main():
     best_dtype = args.scan_dtype
     extra = {
         "build_seconds": round(build_s, 1),
+        # phase decomposition so session variance (tunnel bandwidth /
+        # compile-cache state) is visible IN the artifact: upload seconds
+        # + encoding + observed MB/s, k-means, quantize (ivf.py train)
+        "build_breakdown": index.build_report,
         "single_query_ms": round(lat_ms, 2),
         "recall": round(rec, 4),
         "nprobe": chosen,

@@ -119,6 +119,7 @@ class IvfRabitqIndex:
         # 2^-9 relative — below the bf16 scan's own operand rounding);
         # the fused program casts back to f32 before rotating.
         self.upload_dtype: str = "f32"
+        self.build_report: dict | None = None  # phase timings (train only)
         self._device_mode: str | None = None  # see _layout_mode
         self._fused_cblk: jax.Array | None = None
         # Persistent jit wrappers — constructing jax.jit per call would
@@ -187,19 +188,36 @@ class IvfRabitqIndex:
         use_faster_config: bool = False,
         kmeans_iters: int = 30,
         scan_dtype: str = "bf16",
+        data_upload: str = "auto",
     ) -> "IvfRabitqIndex":
         """Train from scratch (``ivf.rs:950-1021``): k-means on the original
-        data, rotate, quantize residuals per cluster."""
-        data = np.ascontiguousarray(data, np.float32)
+        data, rotate, quantize residuals per cluster.
+
+        ``data_upload`` selects the dataset's host->device encoding
+        (``utils/transfer.py``): "auto" sends large datasets bf16 —
+        half the tunnel bytes, rounding far below code quantization
+        noise — and small ones exact f32.
+        """
+        from ..utils.transfer import upload_dataset
+
+        data = np.asarray(data)
+        if data.dtype != np.float32:
+            # keep f32 inputs as-is (mmap-backed bench datasets must not be
+            # copied into RAM); chunked consumers convert per block
+            data = np.ascontiguousarray(data, np.float32)
         cls._validate_train_args(data, nlist, total_bits)
-        with timed(f"upload dataset {data.nbytes/1e6:.0f}MB", _log):
-            data_dev = jnp.asarray(data)
-            data_dev.block_until_ready()
+        import time as _time
+
+        t0 = _time.time()
+        data_dev, upload_report = upload_dataset(data, data_upload)
+        _log.info("upload dataset: %s", upload_report)
+        t_upload = _time.time()
         with timed(f"kmeans n={data.shape[0]} k={nlist}", _log):
             km = kmeans_ops.run_kmeans(
                 data, nlist, niter=kmeans_iters, seed=seed, data_dev=data_dev
             )
-        return cls._build(
+        t_kmeans = _time.time()
+        index = cls._build(
             data,
             km.centroids,
             km.assignments,
@@ -211,6 +229,14 @@ class IvfRabitqIndex:
             scan_dtype,
             data_dev=data_dev,
         )
+        index.build_report = {
+            "upload": upload_report,
+            "upload_s": round(t_upload - t0, 2),
+            "kmeans_s": round(t_kmeans - t_upload, 2),
+            "quantize_s": round(_time.time() - t_kmeans, 2),
+            "total_s": round(_time.time() - t0, 2),
+        }
+        return index
 
     @classmethod
     def train_with_clusters(

@@ -69,6 +69,10 @@ class MstgConfig:
     # data — the rotation is what makes the RaBitQ error bound
     # dimension-independent. Off by default for reference parity.
     use_rotator: bool = False
+    # TPU-specific build-time knob (not persisted): dataset host->device
+    # upload encoding ("auto" | "f32" | "bf16" | "int8", utils/transfer.py)
+    # — "auto" sends >512 MB datasets bf16, halving the tunnel bytes.
+    data_upload: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -115,6 +115,7 @@ class MstgIndex:
         # same contract as IvfRabitqIndex.upload_dtype: fewer bytes over
         # the host link, all math f32 on device after decode
         self.upload_dtype: str = "f32"
+        self.build_report: dict | None = None  # build phase report
         self._device = None
         # optional rotation fused into the scan program (one dispatch)
         self._fused_scan = make_fused_search(
@@ -190,11 +191,17 @@ class MstgIndex:
     ) -> "MstgIndex":
         """(``mstg/index.rs:16-140``)"""
         config = config or MstgConfig()
-        data = np.ascontiguousarray(data, np.float32)
+        data = np.asarray(data)
+        if data.dtype != np.float32:
+            data = np.ascontiguousarray(data, np.float32)
         if data.size == 0:
             raise InvalidConfig("cannot build index from empty data")
         n, orig_dim = data.shape
-        data_dev = jnp.asarray(data)  # single upload reused by every stage
+        # single upload reused by every stage — reduced-precision over the
+        # slow tunnel for large datasets (utils/transfer.py)
+        from ...utils.transfer import upload_dataset
+
+        data_dev, upload_report = upload_dataset(data, config.data_upload)
         rotator = None
         if config.use_rotator:
             # TPU extension. Rotation is an isometry, so clustering and
@@ -311,10 +318,12 @@ class MstgIndex:
             "centroids": centroids,
             "small": small,
         }
-        return cls(
+        index = cls(
             config, orig_dim, None, scan_dtype, rotator=rotator,
             _meta=meta, _codes_dev=codes_dev,
         )
+        index.build_report = {"upload": upload_report}
+        return index
 
     # ------------------------------------------------------------------
 

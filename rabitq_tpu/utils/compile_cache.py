@@ -32,6 +32,46 @@ from pathlib import Path
 _ENABLED = False
 
 
+def _seed_tarball() -> Path:
+    repo = Path(__file__).resolve().parents[2]
+    return repo / "cache_seed" / "jax_cache_seed.tar.gz"
+
+
+def seed_cache(cache_dir: Path) -> int:
+    """Unpack the committed cache-seed tarball into ``cache_dir``.
+
+    Worker resets wipe ``data/`` (CLAUDE.md), so the round-3 artifact paid
+    every heavy compile cold (932.9 s build). The seed tarball lives in
+    git (`cache_seed/`, built by ``tools/make_cache_seed.py``) and holds
+    the serialized executables of the heavyweight programs (fused 1M scan,
+    k-means, quantize). Members already present are skipped; a stale seed
+    (different jax build) simply misses and falls back to a normal
+    compile. Returns the number of entries extracted.
+    """
+    tar = _seed_tarball()
+    if not tar.exists():
+        return 0
+    import tarfile
+
+    extracted = 0
+    try:
+        with tarfile.open(tar, "r:gz") as tf:
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                dest = cache_dir / Path(member.name).name
+                if dest.exists():
+                    continue
+                src = tf.extractfile(member)
+                if src is None:
+                    continue
+                dest.write_bytes(src.read())
+                extracted += 1
+    except (OSError, tarfile.TarError):
+        return extracted  # partial seed is still a valid cache
+    return extracted
+
+
 def _default_dir() -> Path:
     env = os.environ.get("RABITQ_TPU_COMPILE_CACHE_DIR")
     if env:
@@ -59,6 +99,13 @@ def enable_compilation_cache(path: str | os.PathLike | None = None) -> str | Non
     cache_dir = Path(path) if path is not None else _default_dir()
     try:
         cache_dir.mkdir(parents=True, exist_ok=True)
+        n = seed_cache(cache_dir)
+        if n:
+            import logging
+
+            logging.getLogger("rabitq_tpu.compile_cache").info(
+                "seeded %d compile-cache entries from %s", n, _seed_tarball()
+            )
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -77,6 +77,8 @@ def main():
         index = IvfRabitqIndex.load_from_path(args.index_path)
         index.scan_dtype = args.scan_dtype
         log(f"load: {time.time()-t0:.1f}s")
+        if args.save_index:
+            log("--save-index ignored: index was LOADED from --index-path")
     else:
         index = IvfRabitqIndex.train(
             data, nlist=args.nlist, total_bits=7, metric=Metric.L2,

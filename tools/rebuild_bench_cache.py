@@ -24,7 +24,6 @@ Usage: python tools/rebuild_bench_cache.py [--rows 1000000] [--dim 960]
 from __future__ import annotations
 
 import argparse
-import hashlib
 import os
 import sys
 import time
@@ -45,7 +44,7 @@ def main():
                     help="workload only (no TPU client)")
     args = ap.parse_args()
 
-    from bench import exact_groundtruth, load_or_make_workload
+    from bench import exact_groundtruth, gt_cache_paths, load_or_make_workload
 
     rng = np.random.default_rng(7)  # bench.py's seed
     t0 = time.time()
@@ -56,20 +55,29 @@ def main():
 
     if args.skip_gt:
         return
-    key = hashlib.sha1(
-        f"{args.rows}-{args.dim}-{args.nlist}-{args.queries}-{args.top_k}-v4".encode()
-    ).hexdigest()[:16]
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "data", "bench_cache",
+    # key/path construction shared with bench.py (cannot drift)
+    path, tmp_path = gt_cache_paths(
+        args.rows, args.dim, args.nlist, args.queries, args.top_k
     )
-    path = os.path.join(cache_dir, f"gt_{key}.npy")
     if os.path.exists(path):
         print(f"groundtruth already cached: {path}")
         return
+    if os.path.exists(tmp_path):
+        # a pre-existing /tmp cache (bench.py's fallback write location)
+        # saves the ~3 min TPU recompute: promote it to data/
+        gt = np.load(tmp_path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.save(path, gt)
+        print(f"groundtruth promoted from {tmp_path} -> {path}")
+        return
+    # re-warm data/jax_cache for the groundtruth programs too (bench.py
+    # enables the same persistent compile cache)
+    from rabitq_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t0 = time.time()
     gt = exact_groundtruth(data, queries, args.top_k)
-    os.makedirs(cache_dir, exist_ok=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     np.save(path, gt)
     print(f"groundtruth cached: {path} {gt.shape} ({time.time()-t0:.1f}s)")
 
