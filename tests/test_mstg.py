@@ -562,3 +562,76 @@ def test_dedup_topk_device_pads_small_candidate_sets(rng):
     assert out_ids.shape == (1, 8)
     assert list(out_ids[0][:2]) == [3, 5]
     assert all(out_ids[0][2:] == -1) and np.isinf(out_d[0][2:]).all()
+
+
+# ---------------------------------------------------------------------------
+# InnerProduct end-to-end (mstg/config.rs:50 carries the metric;
+# mstg/distance.rs:14-119 scores IP — navigation stays L2 like the
+# reference's DistL2 centroid selection, only the scoring flips sign)
+# ---------------------------------------------------------------------------
+
+
+def _ip_gt(data, queries, k):
+    return np.argsort(-(queries @ data.T), axis=1)[:, :k]
+
+
+@pytest.mark.parametrize("scan_dtype", ["f32", "fused", "fused8"])
+def test_mstg_inner_product_matches_oracle(scan_dtype, rng):
+    data = _data(rng, 2000, 32)
+    queries = _data(rng, 16, 32)
+    cfg = MstgConfig(
+        max_posting_size=300, branching_factor=4, rabitq_bits=7,
+        metric=Metric.InnerProduct,
+    )
+    index = MstgIndex.build(data, cfg, scan_dtype=scan_dtype)
+    gt = _ip_gt(data, queries, 10)
+    res = index.batch_search(
+        queries, MstgSearchParams(ef_search=400, pruning_epsilon=3.0, top_k=10)
+    )
+    recall = np.mean(
+        [len(set(h.id for h in res[i]) & set(gt[i])) / 10 for i in range(16)]
+    )
+    assert recall >= 0.85, (scan_dtype, recall)
+    for hits in res:
+        scores = [h.score for h in hits]
+        # IP scores are the (positive-is-better) inner products, descending
+        assert scores == sorted(scores, reverse=True)
+        assert len({h.id for h in hits}) == len(hits)
+
+
+def test_mstg_inner_product_score_values(rng):
+    """Returned IP scores approximate the true inner products (estimator
+    tolerance at 7 bits ~ 3%, tests.rs:23-63)."""
+    data = _data(rng, 1200, 32)
+    cfg = MstgConfig(
+        max_posting_size=300, branching_factor=4, rabitq_bits=7,
+        metric=Metric.InnerProduct,
+    )
+    index = MstgIndex.build(data, cfg, scan_dtype="f32")
+    q = data[7]
+    res = index.search(q, MstgSearchParams(ef_search=400, pruning_epsilon=3.0, top_k=10))
+    assert any(h.id == 7 for h in res)
+    for h in res:
+        true_ip = float(data[h.id] @ q)
+        denom = max(abs(true_ip), 1.0)
+        assert abs(h.score - true_ip) / denom < 0.05, (h.id, h.score, true_ip)
+
+
+def test_mstg_inner_product_persistence_roundtrip(tmp_path, rng):
+    data = _data(rng, 800, 32)
+    cfg = MstgConfig(
+        max_posting_size=200, branching_factor=4, rabitq_bits=7,
+        metric=Metric.InnerProduct,
+    )
+    index = MstgIndex.build(data, cfg, scan_dtype="f32")
+    p = tmp_path / "ip.mstg"
+    index.save_to_path(p)
+    loaded = MstgIndex.load_from_path(p, scan_dtype="f32")
+    assert loaded.config.metric is Metric.InnerProduct
+    mp = MstgSearchParams(ef_search=300, pruning_epsilon=1.0, top_k=10)
+    r0 = index.search(data[5], mp)
+    r1 = loaded.search(data[5], mp)
+    assert [h.id for h in r0] == [h.id for h in r1]
+    np.testing.assert_allclose(
+        [h.score for h in r0], [h.score for h in r1], rtol=1e-6
+    )

@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import exact_groundtruth, make_workload, recall_at_k  # noqa: E402
+from bench import exact_groundtruth, load_or_make_workload as make_workload, recall_at_k  # noqa: E402
 
 
 def log(*a):

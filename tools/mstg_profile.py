@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import make_workload  # noqa: E402
+from bench import load_or_make_workload as make_workload  # noqa: E402
 
 
 def log(*a):

@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import make_workload  # noqa: E402
+from bench import load_or_make_workload as make_workload  # noqa: E402
 from tools.mstg_nav_diag import topk  # noqa: E402
 
 
