@@ -27,7 +27,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import load_or_make_workload, exact_groundtruth, recall_at_k  # noqa: E402
+from bench import (  # noqa: E402
+    load_or_make_workload,
+    load_or_make_groundtruth,
+    recall_at_k,
+)
 
 
 def log(*a):
@@ -84,7 +88,9 @@ def main():
         index.save_to_path(args.index_path)
         log(f"save: {time.time()-t0:.1f}s -> {args.index_path}")
 
-    gt = exact_groundtruth(data, queries, args.top_k)
+    gt = load_or_make_groundtruth(
+        data, queries, args.rows, args.dim, args.nlist, args.top_k
+    )
     index.upload_dtype = "int8"
     params = SearchParams(top_k=args.top_k, nprobe=args.nprobe)
     results = {}
