@@ -366,17 +366,21 @@ def _encode_posting_list(
     return w.bytes_value()
 
 
-def save_reference_mstg(index, path) -> None:
-    """Write the index as a reference-readable bincode v1 ``.mstg`` body
-    (``mstg/io.rs:82-126,129-172``), the inverse of this module's parser.
+def save_reference_mstg(index, path, hnsw_seed: int = 0x45) -> None:
+    """Write the index as the reference's complete on-disk set: the
+    bincode v1 ``.mstg`` body (``mstg/io.rs:82-126,129-172``, the inverse
+    of this module's parser) PLUS the ``{base}.hnsw.graph`` /
+    ``{base}.hnsw.data`` centroid-graph dumps the reference's
+    ``load_from_path`` demands (``mstg/io.rs:104-112,248-324``).
 
-    LIMITATION (documented in PARITY.md): the reference's
-    ``MstgIndex::load_from_path`` also demands ``{base}.hnsw.graph`` /
-    ``.hnsw.data`` dumps of its hnsw_rs centroid graph and hard-fails
-    without them (``mstg/io.rs:248-324``); those files are an artifact of
-    the Rust hnsw_rs runtime and are not produced here. The ``.mstg`` body
-    itself is byte-compatible: it round-trips through this module's parser
-    and through the reference's ``load_main_index``.
+    The graph is a real host-built HNSW over the posting-list centroids
+    with the reference's hardcoded construction parameters (M=32,
+    ef_construction=200, max_layer=16 — ``mstg/hnsw.rs:91-97``), written
+    in the hnsw_rs 0.2.x ``file_dump`` byte layout. CAVEAT (PARITY.md
+    "io"): that layout is transcribed from the public crate source; with
+    no Rust toolchain in this environment it is verified by this
+    library's independent parser (``hnswio.parse_hnsw_dump``) and
+    structural tests, not against the real hnsw_rs loader.
 
     Raises for rotated indexes (``use_rotator``) — the reference's MSTG
     quantizes in the original space and has no rotator field to carry.
@@ -432,3 +436,11 @@ def save_reference_mstg(index, path) -> None:
         f.write(struct.pack("<I", _REF_VERSION))
         f.write(blob)
         f.write(struct.pack("<I", zlib.crc32(blob)))
+
+    # hnsw_rs side-files next to the body, over the same centroids the
+    # reference would insert (ids 0..n-1, mstg/hnsw.rs:108-118)
+    from .hnsw_graph import build_hnsw
+    from .hnswio import dump_hnsw
+
+    g = build_hnsw(np.ascontiguousarray(h.centroids, np.float32), seed=hnsw_seed)
+    dump_hnsw(path[: -len(".mstg")], g)
