@@ -691,6 +691,53 @@ class IvfRabitqIndex:
                 cache[key] = min(1 << (bound - 1).bit_length(), n_tiles)
         return cache[key]
 
+    def _gather_budget(self, nprobe) -> int | None:
+        """Static per-query row budget for the gather scan, or None to
+        use the fused/dense stage-1. OPT-IN (``RABITQ_GATHER=1``).
+
+        MEASURED NEGATIVE at the 1M headline point (BENCHMARKS.md
+        "Gather scan", tools/gather_probe.py): the per-query row-gather
+        idea loses 17x to the fused bin-scan (242 vs 14 ms per b=256
+        dispatch) because XLA's TPU gather runs at a fixed ELEMENT rate
+        (~10G elem/s), not HBM byte rate — a [256, 8192, 960] int8
+        gather is 2G elements. The int32-bitcast trick (:func:`take_rows`)
+        recovers 4x but the bin-scan still wins ~4x. Kept opt-in: the
+        path is exact (recall 0.9756 vs fused 0.9753 measured), the CPU
+        tests pin its semantics, and a future XLA gather fast-path would
+        make it the better scan at small nprobe. The gate is the
+        pow2-bucketed safe bound (sum of the ``nprobe`` largest clusters
+        — never truncates), capped by ``RABITQ_GATHER_MAX`` (16384)."""
+        import os
+
+        from .scan import ex_plane_is_total, gather_budget_bucket, is_fused
+
+        if os.environ.get("RABITQ_GATHER", "0") != "1":
+            return None
+        # needs cluster-sorted device rows (fused layouts) + TOTAL plane
+        if not is_fused(self.scan_dtype) or not ex_plane_is_total(self.ex_bits):
+            return None
+        key = (id(self._offsets), nprobe if isinstance(nprobe, int) else None)
+        cache = getattr(self, "_gather_cache", None)
+        if cache is None:
+            cache = self._gather_cache = {}
+        if key not in cache:
+            bucket = gather_budget_bucket(np.diff(self._offsets), nprobe)
+            limit = int(os.environ.get("RABITQ_GATHER_MAX", "16384"))
+            n_rows = len(self)
+            if bucket is None or bucket > limit or 2 * bucket >= n_rows:
+                bucket = None
+            cache[key] = bucket
+        return cache[key]
+
+    def _cluster_ranges(self):
+        """Device [C] start/size arrays for the gather scan (cached)."""
+        cur = getattr(self, "_cl_ranges", None)
+        if cur is None or cur[0] != id(self._offsets):
+            starts = jnp.asarray(self._offsets[:-1], jnp.int32)
+            sizes = jnp.asarray(np.diff(self._offsets), jnp.int32)
+            self._cl_ranges = cur = (id(self._offsets), starts, sizes)
+        return cur[1], cur[2]
+
     def _pad_queries(self, queries: np.ndarray, b_pad: int):
         """Returns (q_padded, qscale | None) in the upload encoding."""
         q = np.zeros((b_pad, self.dim), np.float32)
@@ -724,6 +771,10 @@ class IvfRabitqIndex:
         upload superblock and the scan covers the window at ``offset``."""
         q, qscale = q_padded
         b = sub_block if sub_block is not None else q.shape[0]
+        gather_rows = self._gather_budget(params.nprobe)
+        cl_starts = cl_sizes = None
+        if gather_rows is not None:
+            cl_starts, cl_sizes = self._cluster_ranges()
         return self._fused_scan(
             q,
             dev.centroids,
@@ -742,6 +793,8 @@ class IvfRabitqIndex:
             sub_block=sub_block,
             packed=packed,
             fused_cblk=self._fused_cblk,
+            cl_starts=cl_starts,
+            cl_sizes=cl_sizes,
             top_k=params.top_k,
             nprobe=params.nprobe,
             rerank=params.resolved_rerank(),
@@ -749,8 +802,13 @@ class IvfRabitqIndex:
             ex_bits=self.ex_bits,
             scan_dtype=self.scan_dtype,
             approx_topk=self.approx_topk,
-            max_tiles=self._fused_max_tiles(params.nprobe, batch=b),
+            max_tiles=(
+                None
+                if gather_rows is not None
+                else self._fused_max_tiles(params.nprobe, batch=b)
+            ),
             probe_k=probe_k_bucket(params.nprobe, self.cluster_count(), self.scan_dtype),
+            gather_rows=gather_rows,
         )
 
     def search_with_diagnostics(

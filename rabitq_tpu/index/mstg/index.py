@@ -551,6 +551,46 @@ class MstgIndex:
             out_d = jnp.pad(out_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
         return out_ids, out_d
 
+    def _gather_budget(self, ef_search) -> int | None:
+        """Static per-query gather budget (IVF twin — OPT-IN via
+        ``RABITQ_GATHER=1``; see ``IvfRabitqIndex._gather_budget`` for
+        the measured negative that keeps it off). MSTG's probed set is
+        the ef prefix ∩ ε-pruning, so the ef-largest-lists bound stays
+        safe — pruning only shrinks it."""
+        import os
+
+        from ..scan import ex_plane_is_total, gather_budget_bucket, is_fused
+
+        if os.environ.get("RABITQ_GATHER", "0") != "1":
+            return None
+        ex_bits = self.config.rabitq_bits - 1
+        if (
+            not is_fused(self.scan_dtype)
+            or not self.config.refine_ex
+            or not ex_plane_is_total(ex_bits)
+        ):
+            return None
+        key = (id(self._offsets), ef_search if isinstance(ef_search, int) else None)
+        cache = getattr(self, "_gather_cache", None)
+        if cache is None:
+            cache = self._gather_cache = {}
+        if key not in cache:
+            bucket = gather_budget_bucket(np.diff(self._offsets), ef_search)
+            limit = int(os.environ.get("RABITQ_GATHER_MAX", "16384"))
+            if bucket is None or bucket > limit or 2 * bucket >= self.total_rows:
+                bucket = None
+            cache[key] = bucket
+        return cache[key]
+
+    def _cluster_ranges(self):
+        """Device [C] start/size arrays for the gather scan (cached)."""
+        cur = getattr(self, "_cl_ranges", None)
+        if cur is None or cur[0] != id(self._offsets):
+            starts = jnp.asarray(self._offsets[:-1], jnp.int32)
+            sizes = jnp.asarray(np.diff(self._offsets), jnp.int32)
+            self._cl_ranges = cur = (id(self._offsets), starts, sizes)
+        return cur[1], cur[2]
+
     def _scan_planes(self, dev):
         """(packed, fused_cblk) for the current scan mode, cached."""
         packed = None
@@ -615,6 +655,10 @@ class MstgIndex:
         [B, top_k] with identical results (tools/mstg_profile.py)."""
         q, qscale = q_encoded
         ex_bits = self.config.rabitq_bits - 1
+        gather_rows = self._gather_budget(params.ef_search)
+        cl_starts = cl_sizes = None
+        if gather_rows is not None:
+            cl_starts, cl_sizes = self._cluster_ranges()
         # fetch the full re-ranked survivor set: closure replication means a
         # vector can appear once per assigned posting list, and deduping a
         # short prefix can silently return fewer than top_k results. The
@@ -646,8 +690,15 @@ class MstgIndex:
             clamp_l2=True,
             centroid_select_l2=True,
             approx_topk=self.approx_topk,
-            max_tiles=self._fused_max_tiles(params.ef_search, batch=b),
+            max_tiles=(
+                None
+                if gather_rows is not None
+                else self._fused_max_tiles(params.ef_search, batch=b)
+            ),
             probe_k=probe_k_bucket(params.ef_search, self.posting_list_count(), self.scan_dtype),
+            cl_starts=cl_starts,
+            cl_sizes=cl_sizes,
+            gather_rows=gather_rows,
         )
         return self._dedup_topk_device(ids, dists, top_k=params.top_k)
 

@@ -145,6 +145,27 @@ def _stage1_dots(q_rot: jax.Array, codes: jax.Array, scan_dtype: str) -> jax.Arr
     raise ValueError(f"unknown scan_dtype: {scan_dtype}")
 
 
+def gather_rows_bound(cluster_sizes, nprobe: int) -> int:
+    """Safe per-QUERY bound on probed rows: the sum of the ``nprobe``
+    largest cluster sizes (a query probes exactly ``nprobe`` clusters;
+    ε-pruning and filters only shrink the set). Mirrors
+    ``probed_tile_bound`` but for the gather scan, which pays per row
+    per query instead of per tile per block."""
+    sizes = np.sort(np.asarray(cluster_sizes, np.int64))[::-1]
+    return int(sizes[: max(int(nprobe), 1)].sum())
+
+
+def gather_budget_bucket(cluster_sizes, nprobe) -> int | None:
+    """Static pow2-bucketed gather budget, or None when the gather scan
+    does not apply (traced nprobe: the budget must be static)."""
+    if not isinstance(nprobe, (int, np.integer)):
+        return None
+    bound = gather_rows_bound(cluster_sizes, int(nprobe))
+    if bound <= 0:
+        return None
+    return 1 << (bound - 1).bit_length()
+
+
 _SCAN_STATIC = (
     "top_k",
     "rerank",
@@ -160,6 +181,7 @@ _SCAN_STATIC = (
     "with_diagnostics",
     "max_tiles",
     "probe_k",
+    "gather_rows",
 )
 
 
@@ -186,6 +208,8 @@ def scan_kernel(
     prune_epsilon: jax.Array | float = 0.0,  # traced (MSTG dynamic pruning)
     packed: jax.Array | None = None,  # [Np, Db] uint8 bitplanes ("packed"/"fused")
     fused_cblk: jax.Array | None = None,  # [N_tiles] int32 ("fused" windows)
+    cl_starts: jax.Array | None = None,  # [C] int32 first row of each cluster
+    cl_sizes: jax.Array | None = None,  # [C] int32 rows per cluster (gather)
     *,
     top_k: int,
     rerank: int,
@@ -201,6 +225,7 @@ def scan_kernel(
     with_diagnostics: bool = False,
     max_tiles: int | None = None,
     probe_k: int | None = None,
+    gather_rows: int | None = None,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
@@ -254,6 +279,32 @@ def scan_kernel(
         closest = ranked_sq[:, :1]
         factor = (1.0 + prune_epsilon) ** 2
         within = within & (ranked_sq <= closest * factor)
+
+    if gather_rows is not None:
+        # --- gather scan: score ONLY the probed clusters' rows, exactly —
+        # the TPU restatement of the reference scanning probed clusters
+        # alone (ivf.rs:1847-1872). The fused bin-scan pays per TILE per
+        # 128-query BLOCK (a block's probed-cluster union spans most tiles
+        # at small nprobe: >=99% of its stage-1 rows are masked,
+        # BENCHMARKS.md); this path pays per ROW per QUERY — a [B, R, D]
+        # code gather + batched dot, the exact shape stage-2 already runs
+        # at HBM speed-of-light. No bins, no survivor cut: every probed
+        # row is scored with the full-precision total-code estimator, so
+        # accuracy is >= every other path's.
+        assert cl_starts is not None and cl_sizes is not None, (
+            "gather_rows needs the cluster row ranges"
+        )
+        assert ex_bits > 0 and refine_ex and ex_plane_is_total(ex_bits), (
+            "gather scan requires the TOTAL refine plane (ex_bits in 1..6)"
+        )
+        return _gather_scan(
+            q_rot, qc, g_add, ranked, within, cl_starts, cl_sizes,
+            ex, f_add_ex, f_rescale_ex, row_allowed, ids,
+            top_k=top_k, metric=metric, scan_dtype=scan_dtype,
+            clamp_l2=clamp_l2, gather_rows=gather_rows,
+            with_diagnostics=with_diagnostics,
+        )
+
     probe_mask = jnp.zeros((b, n_clusters), jnp.bool_)
     probe_mask = probe_mask.at[jnp.arange(b)[:, None], ranked].max(within)
 
@@ -393,6 +444,107 @@ def scan_kernel(
     return result_ids, result_dist, diag
 
 
+def take_rows(plane: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather ``plane[idx]`` with int8 rows widened to int32 words.
+
+    XLA's TPU gather runs at a fixed ELEMENT rate (~10G elem/s measured,
+    BENCHMARKS.md "Gather rate"), not a byte rate: gathering int8 code
+    rows costs 4x more than the same bytes as int32. Bitcasting the plane
+    to [N, D/4] int32 (layout-free), gathering words, and bitcasting back
+    cuts the survivor re-rank's dominant term ~4x. Non-int8 planes and
+    dims not divisible by 4 fall back to the plain take.
+    """
+    if plane.dtype not in (jnp.int8, jnp.uint8) or plane.shape[-1] % 4:
+        return jnp.take(plane, idx, axis=0)
+    n, d = plane.shape
+    words = jax.lax.bitcast_convert_type(
+        plane.reshape(n, d // 4, 4), jnp.int32
+    )  # [N, D/4]
+    out = jnp.take(words, idx, axis=0)  # [..., D/4]
+    return jax.lax.bitcast_convert_type(out, plane.dtype).reshape(
+        *idx.shape, d
+    )
+
+
+def _gather_scan(
+    q_rot, qc, g_add, ranked, within, cl_starts, cl_sizes,
+    ex_total, f_add_ex, f_rescale_ex, row_allowed, ids,
+    *, top_k, metric, scan_dtype, clamp_l2, gather_rows, with_diagnostics,
+):
+    """Exact scoring of every probed row via a per-query row gather.
+
+    ``ranked`` [B, k_sel] best-first cluster ids, ``within`` [B, k_sel]
+    the probed mask (nprobe prefix ∩ ε-pruning). Each query's probed
+    clusters' row ranges are flattened into a static-width [B, R] row-id
+    matrix (R = ``gather_rows``, a safe pow2 bound from
+    :func:`gather_rows_bound` — slots past a query's actual probed rows
+    are masked, never dropped), then one [B, R, D] gather of the TOTAL
+    code plane + a batched dot scores everything with the extended
+    estimator (``ivf.rs:2086-2099``) and a final top-k replaces the heap.
+    """
+    b = q_rot.shape[0]
+    r_idx = jnp.arange(gather_rows, dtype=jnp.int32)
+    seg_len = jnp.where(within, jnp.take(cl_sizes, ranked), 0)  # [B, k_sel]
+    cum = jnp.cumsum(seg_len, axis=1)  # [B, k_sel] inclusive
+    total_rows = cum[:, -1]  # [B]
+    # segment of each output slot: first cum[] strictly greater than slot
+    seg = jax.vmap(
+        lambda c: jnp.searchsorted(c, r_idx, side="right")
+    )(cum).astype(jnp.int32)
+    seg = jnp.minimum(seg, cum.shape[1] - 1)
+    cluster = jnp.take_along_axis(ranked, seg, axis=1)  # [B, R]
+    prev = jnp.where(
+        seg > 0,
+        jnp.take_along_axis(cum, jnp.maximum(seg - 1, 0), axis=1),
+        0,
+    )
+    valid = r_idx[None, :] < total_rows[:, None]
+    row = jnp.take(cl_starts, cluster) + (r_idx[None, :] - prev)
+    row = jnp.where(valid, row, 0)
+
+    op_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
+    codes = take_rows(ex_total, row)  # [B, R, D]
+    tdot = jnp.einsum(
+        "brd,bd->br",
+        codes.astype(op_dtype),
+        q_rot.astype(op_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    g_add_r = jnp.take_along_axis(g_add, cluster, axis=1)
+    dist = (
+        jnp.take(f_add_ex, row)
+        + g_add_r
+        + jnp.take(f_rescale_ex, row) * (tdot + qc.kbx_sum_q[:, None])
+    )
+    ok = valid & jnp.take(row_allowed, row)
+    dist = jnp.where(ok & jnp.isfinite(dist), dist, jnp.inf)
+
+    k = min(top_k, gather_rows)
+    neg_d, pos = jax.lax.top_k(-dist, k)
+    result_dist = -neg_d
+    if clamp_l2 and metric is Metric.L2:
+        result_dist = jnp.where(
+            jnp.isfinite(result_dist), jnp.maximum(result_dist, 0.0), result_dist
+        )
+    result_rows = jnp.take_along_axis(row, pos, axis=1)
+    result_ids = jnp.where(
+        jnp.isfinite(result_dist), jnp.take(ids, result_rows), jnp.int32(-1)
+    )
+    if k < top_k:
+        pad = top_k - k
+        result_ids = jnp.pad(result_ids, ((0, 0), (0, pad)), constant_values=-1)
+        result_dist = jnp.pad(
+            result_dist, ((0, 0), (0, pad)), constant_values=jnp.inf
+        )
+    if not with_diagnostics:
+        return result_ids, result_dist
+    # every offered row is scored exactly: estimated == extended, none
+    # skipped by a lower-bound cut (there is no cut on this path)
+    estimated = jnp.sum(ok, axis=1, dtype=jnp.int32)
+    diag = jnp.stack([estimated, jnp.zeros_like(estimated), estimated], axis=1)
+    return result_ids, result_dist, diag
+
+
 def _stage2_rerank(
     q_rot, qc, g_add, binary, ex, f_add, f_rescale, f_add_ex, f_rescale_ex,
     cluster_of, ids, cand_idx, cand_ok,
@@ -422,7 +574,7 @@ def _stage2_rerank(
     ex_is_total = ex_plane_is_total(ex_bits)
     if ex_bits > 0 and refine_ex and ex_is_total:
         # single gather: <total, q> == binary_scale * bdot + edot exactly
-        t_cand = jnp.take(ex, cand_idx, axis=0)  # [B, R, D]
+        t_cand = take_rows(ex, cand_idx)  # [B, R, D]
         tdot_c = _dot(t_cand, q_rot)
         total_term = tdot_c + qc.kbx_sum_q[:, None]
         dist = (
@@ -432,7 +584,7 @@ def _stage2_rerank(
         )
     elif ex_bits > 0 and refine_ex:
         assert binary is not None, "two-gather refine needs the binary plane"
-        bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
+        bdot_c = _dot(take_rows(binary, cand_idx), q_rot)
         edot_c = jnp.take(ex, cand_idx, axis=0).astype(jnp.float32)
         edot_c = jnp.einsum("brd,bd->br", edot_c, q_rot)  # may exceed 127: f32
         dist = est_ops.est_extended(
@@ -446,7 +598,7 @@ def _stage2_rerank(
         )
     else:
         assert binary is not None, "1-bit re-score needs the binary plane"
-        bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
+        bdot_c = _dot(take_rows(binary, cand_idx), q_rot)
         dist = est_ops.est_1bit(
             jnp.take(f_add, cand_idx),
             g_add_c,

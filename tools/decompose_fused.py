@@ -19,6 +19,7 @@ Usage: python tools/decompose_fused.py [--rows 1000000] [--batch 512]
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -140,8 +141,13 @@ def main():
             jnp.sum(g_add) + jnp.sum(g_error) + jnp.sum(q_rot),
         )
 
-    @jax.jit
-    def select_only(q):
+    # NOTE: the >100 MB planes (packed, ex) are jit ARGUMENTS, never
+    # closed over — a closed-over device array becomes a compile-time
+    # constant that the remote-compile service ships and folds (the
+    # CLAUDE.md jit gotcha; an earlier revision closed stage2 over the
+    # ~1 GB ex plane and its compile blew a 30-minute timeout).
+    @functools.partial(jax.jit)
+    def _select(q, packed_a, fa_a, cluster_a, cblk_a):
         q_rot, qc, g_add, g_error, probe_mask, order, inv = _prep(q)
         q_in = q_rot[order] if max_tiles is not None else q_rot
         k1x_in = qc.k1x_sum_q[order] if max_tiles is not None else qc.k1x_sum_q
@@ -149,8 +155,8 @@ def main():
         g_err_in = g_error[order] if max_tiles is not None else g_error
         probe_in = probe_mask[order] if max_tiles is not None else probe_mask
         cand_idx, cand_ok, probed = fused_select(
-            q_in, packed, fa_eff, dev.f_rescale, dev.f_error, dev.cluster_of,
-            k1x_in, g_add_in, g_err_in, probe_in, index._fused_cblk,
+            q_in, packed_a, fa_a, dev.f_rescale, dev.f_error, cluster_a,
+            k1x_in, g_add_in, g_err_in, probe_in, cblk_a,
             rerank, d_pad,
             int8_stage1=(args.scan_dtype == "fused8"), max_tiles=max_tiles,
         )
@@ -158,19 +164,25 @@ def main():
             cand_idx, cand_ok = cand_idx[inv], cand_ok[inv]
         return cand_idx, cand_ok
 
-    @jax.jit
-    def stage2_only(q, cand_idx, cand_ok):
+    def select_only(q):
+        return _select(q, packed, fa_eff, dev.cluster_of, index._fused_cblk)
+
+    @functools.partial(jax.jit)
+    def _stage2(q, cand_idx, cand_ok, ex_a, cluster_a, ids_a):
         q_rot = rotate(q)
         qc = est_ops.query_constants(q_rot, ex_bits)
         g_add, _, _, _ = est_ops.g_terms(q_rot, dev.centroids, metric)
         return _stage2_rerank(
-            q_rot, qc, g_add, dev.binary, dev.ex, dev.f_add, dev.f_rescale,
-            dev.f_add_ex, dev.f_rescale_ex, dev.cluster_of, dev.ids,
+            q_rot, qc, g_add, dev.binary, ex_a, dev.f_add, dev.f_rescale,
+            dev.f_add_ex, dev.f_rescale_ex, cluster_a, ids_a,
             cand_idx, cand_ok,
             top_k=10, rerank=cand_idx.shape[1], metric=metric,
             ex_bits=ex_bits, scan_dtype=args.scan_dtype, refine_ex=True,
             clamp_l2=False,
         )
+
+    def stage2_only(q, cand_idx, cand_ok):
+        return _stage2(q, cand_idx, cand_ok, dev.ex, dev.cluster_of, dev.ids)
 
     def full(q):
         return index._fused_scan(
