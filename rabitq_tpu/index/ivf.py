@@ -145,7 +145,11 @@ class IvfRabitqIndex:
         pos_of_row[self._device_perm] = np.arange(self._device_perm.shape[0])
         take = jnp.asarray(pos_of_row[:n])
         with timed(f"download host codes n={n}", _log):
-            ex = np.asarray(jnp.take(dev.ex, take, axis=0)).astype(np.uint16)
+            # fused layouts width-pad the refine plane to 128 lanes
+            # (layout.py): slice the zero columns back off
+            ex = np.asarray(jnp.take(dev.ex, take, axis=0))[
+                :, : self.padded_dim
+            ].astype(np.uint16)
             if dev.binary is not None:
                 binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(np.uint8)
             else:
@@ -658,7 +662,8 @@ class IvfRabitqIndex:
             return None
         import os
 
-        if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
+        compact_env = os.environ.get("RABITQ_FUSED_COMPACT", "1")
+        if compact_env == "0":
             return None
         from ..ops.pallas_fused_scan import (
             TB,
@@ -684,7 +689,11 @@ class IvfRabitqIndex:
             # still a win: padding slots repeat the last tile, so skipped
             # grid steps do no DMA and no compute)
             exp = expected_tile_cost(sizes, int(nprobe), batch_tile=bt)
-            if exp >= 0.6 * n_tiles:
+            if compact_env == "force":
+                # experiment knob (see the MSTG twin): full-length list
+                # regardless of the expected-cost gate
+                cache[key] = n_tiles
+            elif exp >= 0.6 * n_tiles:
                 cache[key] = None  # most tiles probed anyway: dense walk
             else:
                 bound = probed_tile_bound(sizes, int(nprobe), batch_tile=bt)
@@ -737,6 +746,23 @@ class IvfRabitqIndex:
             sizes = jnp.asarray(np.diff(self._offsets), jnp.int32)
             self._cl_ranges = cur = (id(self._offsets), starts, sizes)
         return cur[1], cur[2]
+
+    def _fused_exact_ok(self) -> bool:
+        """Whether the fused scan can run in EXACT mode: stream the int8
+        TOTAL plane through the bin kernel with the extended factors and
+        skip the stage-2 survivor gather (the serving dispatch's measured
+        dominant term). Needs the TOTAL refine plane and a 128-aligned
+        plane width; ``RABITQ_FUSED_EXACT=0`` falls back to the
+        two-stage scan."""
+        import os
+
+        from .scan import ex_plane_is_total, is_fused
+
+        if os.environ.get("RABITQ_FUSED_EXACT", "1") == "0":
+            return False
+        # the fused device layout width-pads the refine plane to 128
+        # lanes (layout.py), so any quant dim is eligible
+        return is_fused(self.scan_dtype) and ex_plane_is_total(self.ex_bits)
 
     def _pad_queries(self, queries: np.ndarray, b_pad: int):
         """Returns (q_padded, qscale | None) in the upload encoding."""
@@ -809,6 +835,7 @@ class IvfRabitqIndex:
             ),
             probe_k=probe_k_bucket(params.nprobe, self.cluster_count(), self.scan_dtype),
             gather_rows=gather_rows,
+            fused_exact=self._fused_exact_ok(),
         )
 
     def search_with_diagnostics(

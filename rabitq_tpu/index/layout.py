@@ -173,10 +173,19 @@ def assemble_device_layout(
         if ex_plane_is_total(ex_bits) and not keep_binary:
             binary_dev = None
 
+    ex_dev = _pad_permute(plane, n, n_pad, perm, ex_dt)
+    if not permute and ex_dev.shape[1] % 128:
+        # fused layouts width-pad the refine plane to the kernel's
+        # 128-lane alignment so the EXACT scan mode (scan.py fused_exact:
+        # stream this plane through the bin kernel, no stage-2) works at
+        # any quant dim. Zero columns never change a dot; host downloads
+        # slice them back off (_download_host in ivf/mstg).
+        ex_dev = jnp.pad(ex_dev, ((0, 0), (0, (-ex_dev.shape[1]) % 128)))
+
     return DeviceLayout(
         binary=binary_dev,
         packed=packed_dev,
-        ex=_pad_permute(plane, n, n_pad, perm, ex_dt),
+        ex=ex_dev,
         f_add=scalar(f_add),
         f_rescale=scalar(f_rescale),
         f_error=jnp.zeros(n_pad, jnp.float32)

@@ -153,7 +153,10 @@ class MstgIndex:
         pos_of_row = np.empty_like(perm)
         pos_of_row[perm] = np.arange(perm.shape[0])
         take = jnp.asarray(pos_of_row[:n])
-        ex = np.asarray(jnp.take(dev.ex, take, axis=0)).astype(np.int32)
+        # width-padded refine plane (layout.py): slice the pad columns off
+        ex = np.asarray(jnp.take(dev.ex, take, axis=0))[
+            :, : self.quant_dim
+        ].astype(np.int32)
         if dev.binary is not None:
             binary = np.asarray(jnp.take(dev.binary, take, axis=0)).astype(
                 np.uint8
@@ -397,7 +400,8 @@ class MstgIndex:
             return None
         import os
 
-        if os.environ.get("RABITQ_FUSED_COMPACT", "1") == "0":
+        compact_env = os.environ.get("RABITQ_FUSED_COMPACT", "1")
+        if compact_env == "0":
             return None
         from ...ops.pallas_fused_scan import (
             TB,
@@ -416,7 +420,13 @@ class MstgIndex:
             n_tiles = pad_rows(self.total_rows, TN) // TN
             sizes = np.diff(self._offsets)
             exp = expected_tile_cost(sizes, int(ef_search), batch_tile=bt)
-            if exp >= 0.6 * n_tiles:
+            if compact_env == "force":
+                # experiment knob: full-length needed-first list even when
+                # the gate says dense (skipped steps still cost ~nothing;
+                # the gate's distinct-uniform model overestimates sorted
+                # blocks' unions — tools/mstg_decompose.py measures this)
+                cache[key] = n_tiles
+            elif exp >= 0.6 * n_tiles:
                 cache[key] = None  # most tiles probed anyway: dense walk
             else:
                 bound = probed_tile_bound(sizes, int(ef_search), batch_tile=bt)
@@ -591,6 +601,21 @@ class MstgIndex:
             self._cl_ranges = cur = (id(self._offsets), starts, sizes)
         return cur[1], cur[2]
 
+    def _fused_exact_ok(self) -> bool:
+        """IVF twin (``IvfRabitqIndex._fused_exact_ok``): exact in-kernel
+        scoring from the TOTAL plane, no stage-2 survivor gather."""
+        import os
+
+        from ..scan import ex_plane_is_total, is_fused
+
+        if os.environ.get("RABITQ_FUSED_EXACT", "1") == "0":
+            return False
+        return (
+            is_fused(self.scan_dtype)
+            and self.config.refine_ex
+            and ex_plane_is_total(self.config.rabitq_bits - 1)
+        )
+
     def _scan_planes(self, dev):
         """(packed, fused_cblk) for the current scan mode, cached."""
         packed = None
@@ -699,6 +724,7 @@ class MstgIndex:
             cl_starts=cl_starts,
             cl_sizes=cl_sizes,
             gather_rows=gather_rows,
+            fused_exact=self._fused_exact_ok(),
         )
         return self._dedup_topk_device(ids, dists, top_k=params.top_k)
 

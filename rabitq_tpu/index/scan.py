@@ -182,6 +182,7 @@ _SCAN_STATIC = (
     "max_tiles",
     "probe_k",
     "gather_rows",
+    "fused_exact",
 )
 
 
@@ -226,6 +227,7 @@ def scan_kernel(
     max_tiles: int | None = None,
     probe_k: int | None = None,
     gather_rows: int | None = None,
+    fused_exact: bool = False,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
@@ -281,16 +283,14 @@ def scan_kernel(
         within = within & (ranked_sq <= closest * factor)
 
     if gather_rows is not None:
-        # --- gather scan: score ONLY the probed clusters' rows, exactly —
-        # the TPU restatement of the reference scanning probed clusters
-        # alone (ivf.rs:1847-1872). The fused bin-scan pays per TILE per
-        # 128-query BLOCK (a block's probed-cluster union spans most tiles
-        # at small nprobe: >=99% of its stage-1 rows are masked,
-        # BENCHMARKS.md); this path pays per ROW per QUERY — a [B, R, D]
-        # code gather + batched dot, the exact shape stage-2 already runs
-        # at HBM speed-of-light. No bins, no survivor cut: every probed
-        # row is scored with the full-precision total-code estimator, so
-        # accuracy is >= every other path's.
+        # --- gather scan (OPT-IN; measured 17x slower than the fused
+        # bin-scan at 1M because XLA's TPU gather is element-rate-bound —
+        # see IvfRabitqIndex._gather_budget): score ONLY the probed
+        # clusters' rows, exactly — the TPU restatement of the reference
+        # scanning probed clusters alone (ivf.rs:1847-1872), a [B, R, D]
+        # code gather + batched dot. No bins, no survivor cut: every
+        # probed row is scored with the full-precision total-code
+        # estimator, so accuracy is >= every other path's.
         assert cl_starts is not None and cl_sizes is not None, (
             "gather_rows needs the cluster row ranges"
         )
@@ -316,12 +316,42 @@ def scan_kernel(
         # rows outside the filter via f_add, unprobed clusters via g_add.
         from ..ops.pallas_fused_scan import BIG, fused_select
 
-        assert packed is not None and fused_cblk is not None, (
-            "scan_dtype='fused' needs the packed plane and c_blk windows"
+        assert fused_cblk is not None, (
+            "scan_dtype='fused' needs the c_blk windows"
         )
-        fa_eff = jnp.where(row_allowed, f_add, BIG)
+        if fused_exact and (ex is None or ex.shape[1] % 128 != 0):
+            # defensive: exact mode needs the 128-lane-aligned refine
+            # plane the shared layout provides; planes from other
+            # builders fall back to the two-stage scan (shape is static,
+            # so this is a trace-time branch)
+            fused_exact = False
+        if fused_exact:
+            # --- exact in-kernel scan: stream the dense int8 TOTAL plane
+            # with the EXTENDED factors (f_error := 0, so the in-kernel
+            # g-term reduces to g_add and the bin values are exactly
+            # est_extended, ivf.rs:2086-2099). Bin minima are final
+            # distances: the stage-2 survivor gather — measured the
+            # dominant term of the serving dispatch (BENCHMARKS.md
+            # "Gather rate") — disappears entirely. Selection loss is a
+            # bin COLLISION between two true top-k rows (~L/k^2 odds),
+            # absorbed the same way approx_max_k's stripe-min is.
+            assert ex_plane_is_total(ex_bits) and refine_ex, (
+                "fused_exact needs the TOTAL refine plane"
+            )
+            plane = ex
+            fa_eff = jnp.where(row_allowed, f_add_ex, BIG)
+            fr_in, fe_in = f_rescale_ex, jnp.zeros_like(f_error)
+            k1x_full = qc.kbx_sum_q
+        else:
+            assert packed is not None, (
+                "scan_dtype='fused' needs the packed plane"
+            )
+            plane = packed
+            fa_eff = jnp.where(row_allowed, f_add, BIG)
+            fr_in, fe_in = f_rescale, f_error
+            k1x_full = qc.k1x_sum_q
         q_in, k1x_in, g_add_in, g_err_in, probe_in = (
-            q_rot, qc.k1x_sum_q, g_add, g_error, probe_mask,
+            q_rot, k1x_full, g_add, g_error, probe_mask,
         )
         inv = None
         if max_tiles is not None:
@@ -333,42 +363,95 @@ def scan_kernel(
             order = jnp.argsort(ranked[:, 0])
             inv = jnp.argsort(order)
             q_in = q_rot[order]
-            k1x_in = qc.k1x_sum_q[order]
+            k1x_in = k1x_full[order]
             g_add_in = g_add[order]
             g_err_in = g_error[order]
             probe_in = probe_mask[order]
-        cand_idx, cand_ok, probed = fused_select(
+        if fused_exact and plane.shape[1] != q_in.shape[1]:
+            # fused layouts width-pad the refine plane to 128 lanes
+            # (layout.py); zero query columns keep the dot unchanged
+            q_in = jnp.pad(
+                q_in, ((0, 0), (0, plane.shape[1] - q_in.shape[1]))
+            )
+        sel_out = fused_select(
             q_in,
-            packed,
+            plane,
             fa_eff,
-            f_rescale,
-            f_error,
+            fr_in,
+            fe_in,
             cluster_of,
             k1x_in,
             g_add_in,
             g_err_in,
             probe_in,
             fused_cblk,
-            rerank,
+            top_k if fused_exact else rerank,
             d,
-            int8_stage1=(scan_dtype == "fused8"),
+            # exact mode keeps bf16 query operands: its dot produces the
+            # FINAL scores (stage-2 precision, 2^-9 q rounding), whereas
+            # the two-stage int8 dot only feeds a survivor cut that an
+            # exact re-rank absorbs
+            int8_stage1=(scan_dtype == "fused8") and not fused_exact,
             max_tiles=max_tiles,
+            direct_plane=fused_exact,
+            with_values=fused_exact,
         )
+        if fused_exact:
+            cand_idx, cand_ok, cand_val, probed = sel_out
+        else:
+            cand_idx, cand_ok, probed = sel_out
         if inv is not None:
             cand_idx = cand_idx[inv]
             cand_ok = cand_ok[inv]
             probed = probed[inv]
-        rerank = cand_idx.shape[1]
-        result = _stage2_rerank(
-            q_rot, qc, g_add, binary, ex, f_add, f_rescale, f_add_ex,
-            f_rescale_ex, cluster_of, ids, cand_idx, cand_ok,
-            top_k=top_k, rerank=rerank, metric=metric, ex_bits=ex_bits,
-            scan_dtype=scan_dtype, refine_ex=refine_ex, clamp_l2=clamp_l2,
-        )
+            if fused_exact:
+                cand_val = cand_val[inv]
+        if fused_exact:
+            # bin minima ARE the final distances (best-first from the
+            # in-kernel selection): build results with no re-rank pass
+            result_dist = jnp.where(
+                cand_ok & jnp.isfinite(cand_val), cand_val, jnp.inf
+            )
+            if clamp_l2 and metric is Metric.L2:
+                result_dist = jnp.where(
+                    jnp.isfinite(result_dist),
+                    jnp.maximum(result_dist, 0.0),
+                    result_dist,
+                )
+            result_ids = jnp.where(
+                jnp.isfinite(result_dist),
+                jnp.take(ids, cand_idx),
+                jnp.int32(-1),
+            )
+            k = result_ids.shape[1]
+            if k < top_k:
+                pad = top_k - k
+                result_ids = jnp.pad(
+                    result_ids, ((0, 0), (0, pad)), constant_values=-1
+                )
+                result_dist = jnp.pad(
+                    result_dist, ((0, 0), (0, pad)), constant_values=jnp.inf
+                )
+            result = (result_ids[:, :top_k], result_dist[:, :top_k])
+        else:
+            rerank = cand_idx.shape[1]
+            result = _stage2_rerank(
+                q_rot, qc, g_add, binary, ex, f_add, f_rescale, f_add_ex,
+                f_rescale_ex, cluster_of, ids, cand_idx, cand_ok,
+                top_k=top_k, rerank=rerank, metric=metric, ex_bits=ex_bits,
+                scan_dtype=scan_dtype, refine_ex=refine_ex, clamp_l2=clamp_l2,
+            )
         if not with_diagnostics:
             return result
         # counters measured INSIDE the production kernel: `probed` is the
-        # offered-row count from the bin accumulator (ivf.rs:150-155)
+        # offered-row count from the bin accumulator (ivf.rs:150-155).
+        # In exact mode every offered row is scored at full precision:
+        # estimated == probed, none skipped by a lower-bound cut.
+        if fused_exact:
+            diag = jnp.stack(
+                [probed, jnp.zeros_like(probed), probed], axis=1
+            )
+            return (*result, diag)
         survivors = jnp.sum(cand_ok, axis=1, dtype=jnp.int32)
         extended = (
             survivors if (ex_bits > 0 and refine_ex) else jnp.zeros_like(survivors)
@@ -444,28 +527,6 @@ def scan_kernel(
     return result_ids, result_dist, diag
 
 
-def take_rows(plane: jax.Array, idx: jax.Array) -> jax.Array:
-    """Row gather ``plane[idx]`` with int8 rows widened to int32 words.
-
-    XLA's TPU gather runs at a fixed ELEMENT rate (~10G elem/s measured,
-    BENCHMARKS.md "Gather rate"), not a byte rate: gathering int8 code
-    rows costs 4x more than the same bytes as int32. Bitcasting the plane
-    to [N, D/4] int32 (layout-free), gathering words, and bitcasting back
-    cuts the survivor re-rank's dominant term ~4x. Non-int8 planes and
-    dims not divisible by 4 fall back to the plain take.
-    """
-    if plane.dtype not in (jnp.int8, jnp.uint8) or plane.shape[-1] % 4:
-        return jnp.take(plane, idx, axis=0)
-    n, d = plane.shape
-    words = jax.lax.bitcast_convert_type(
-        plane.reshape(n, d // 4, 4), jnp.int32
-    )  # [N, D/4]
-    out = jnp.take(words, idx, axis=0)  # [..., D/4]
-    return jax.lax.bitcast_convert_type(out, plane.dtype).reshape(
-        *idx.shape, d
-    )
-
-
 def _gather_scan(
     q_rot, qc, g_add, ranked, within, cl_starts, cl_sizes,
     ex_total, f_add_ex, f_rescale_ex, row_allowed, ids,
@@ -503,11 +564,14 @@ def _gather_scan(
     row = jnp.where(valid, row, 0)
 
     op_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
-    codes = take_rows(ex_total, row)  # [B, R, D]
+    codes = jnp.take(ex_total, row, axis=0)  # [B, R, D]
+    q_t = q_rot
+    if codes.shape[-1] != q_t.shape[-1]:  # width-padded plane (layout.py)
+        q_t = jnp.pad(q_t, ((0, 0), (0, codes.shape[-1] - q_t.shape[-1])))
     tdot = jnp.einsum(
         "brd,bd->br",
         codes.astype(op_dtype),
-        q_rot.astype(op_dtype),
+        q_t.astype(op_dtype),
         preferred_element_type=jnp.float32,
     )
     g_add_r = jnp.take_along_axis(g_add, cluster, axis=1)
@@ -563,6 +627,11 @@ def _stage2_rerank(
     op_dtype = jnp.float32 if scan_dtype == "f32" else jnp.bfloat16
 
     def _dot(codes_gathered, q):
+        if codes_gathered.shape[-1] != q.shape[-1]:
+            # width-padded refine plane (layout.py): zero q columns
+            q = jnp.pad(
+                q, ((0, 0), (0, codes_gathered.shape[-1] - q.shape[-1]))
+            )
         return jnp.einsum(
             "brd,bd->br",
             codes_gathered.astype(op_dtype),
@@ -574,7 +643,7 @@ def _stage2_rerank(
     ex_is_total = ex_plane_is_total(ex_bits)
     if ex_bits > 0 and refine_ex and ex_is_total:
         # single gather: <total, q> == binary_scale * bdot + edot exactly
-        t_cand = take_rows(ex, cand_idx)  # [B, R, D]
+        t_cand = jnp.take(ex, cand_idx, axis=0)  # [B, R, D]
         tdot_c = _dot(t_cand, q_rot)
         total_term = tdot_c + qc.kbx_sum_q[:, None]
         dist = (
@@ -584,9 +653,12 @@ def _stage2_rerank(
         )
     elif ex_bits > 0 and refine_ex:
         assert binary is not None, "two-gather refine needs the binary plane"
-        bdot_c = _dot(take_rows(binary, cand_idx), q_rot)
+        bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
         edot_c = jnp.take(ex, cand_idx, axis=0).astype(jnp.float32)
-        edot_c = jnp.einsum("brd,bd->br", edot_c, q_rot)  # may exceed 127: f32
+        q_e = q_rot
+        if edot_c.shape[-1] != q_e.shape[-1]:  # width-padded plane
+            q_e = jnp.pad(q_e, ((0, 0), (0, edot_c.shape[-1] - q_e.shape[-1])))
+        edot_c = jnp.einsum("brd,bd->br", edot_c, q_e)  # may exceed 127: f32
         dist = est_ops.est_extended(
             jnp.take(f_add_ex, cand_idx),
             g_add_c,
@@ -598,7 +670,7 @@ def _stage2_rerank(
         )
     else:
         assert binary is not None, "1-bit re-score needs the binary plane"
-        bdot_c = _dot(take_rows(binary, cand_idx), q_rot)
+        bdot_c = _dot(jnp.take(binary, cand_idx, axis=0), q_rot)
         dist = est_ops.est_1bit(
             jnp.take(f_add, cand_idx),
             g_add_c,

@@ -227,9 +227,10 @@ def sliced_max_tiles(
 def _tile_update(
     t,  # traced int32: ACTUAL row-tile index (grid step under compaction)
     c_base,  # traced int32: the tile's cluster-window 128-block base
-    q_ref,  # [tb, D8] bf16 (or int8-quantized) bit-plane-permuted queries
+    q_ref,  # [tb, D8] bf16 (or int8-quantized) bit-plane-permuted queries;
+    #         in DIRECT mode [tb, D] natural-order queries
     qs_ref,  # [1, tb] f32 per-query dequant scale (ones for bf16 queries)
-    packed_ref,  # [TN, Db] uint8
+    packed_ref,  # [TN, Db] uint8 bit planes; DIRECT mode: [TN, D] int8 codes
     fa_ref,  # [1, TN] f32 f_add (+BIG on masked rows)
     fr_ref,  # [1, TN] f32 f_rescale
     fe_ref,  # [1, TN] f32 f_error
@@ -243,13 +244,21 @@ def _tile_update(
     idx_ref,  # out [tb, L] int32 bin argmin rows
     cnt_ref,  # out [tb, 128] int32 offered-row counters (diagnostics)
 ):
-    # --- <binary, q> on the MXU over in-VMEM unpacked bit planes ---
-    x = packed_ref[:].astype(jnp.int32)  # [TN, Db]
+    # --- <codes, q> on the MXU ---
+    # DIRECT mode (exact scan): the ref holds dense int8 codes (e.g. the
+    # TOTAL plane) in natural dim order — dot them as-is, no unpack. The
+    # mode is inferred from the shapes: packed bit planes satisfy
+    # q_dim == 8 * code_dim, direct planes q_dim == code_dim.
     int8_q = q_ref.dtype == jnp.int8  # static: selects the MXU operand mode
-    bit_dt = jnp.int8 if int8_q else jnp.bfloat16
-    bits = jnp.concatenate(
-        [((x >> k) & 1) for k in range(8)], axis=-1
-    ).astype(bit_dt)  # [TN, 8*Db] in bit-plane order (matches permute_query)
+    direct = q_ref.shape[1] == packed_ref.shape[1]
+    if direct:
+        bits = packed_ref[:].astype(jnp.int8 if int8_q else jnp.bfloat16)
+    else:
+        x = packed_ref[:].astype(jnp.int32)  # [TN, Db]
+        bit_dt = jnp.int8 if int8_q else jnp.bfloat16
+        bits = jnp.concatenate(
+            [((x >> k) & 1) for k in range(8)], axis=-1
+        ).astype(bit_dt)  # [TN, 8*Db] in bit-plane order (permute_query)
     acc = jax.lax.dot_general(
         q_ref[:],
         bits,
@@ -368,7 +377,7 @@ def fused_bin_scan(
     """
     n, db = packed.shape
     bq, d8 = q_perm.shape
-    assert n % TN == 0 and db % 128 == 0 and d8 == 8 * db, (n, db, d8)
+    assert n % TN == 0 and db % 128 == 0 and d8 in (8 * db, db), (n, db, d8)
     assert g1.shape[1] % 128 == 0 and g1.shape[1] >= W
     tb = min(TB, bq)
     assert bq % tb == 0, (bq, tb)
@@ -481,15 +490,22 @@ def fused_select(
     padded_dim: int,
     int8_stage1: bool = False,
     max_tiles: int | None = None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    direct_plane: bool = False,
+    with_values: bool = False,
+):
     """Stage-1 + survivor selection. Returns (cand_idx [Bp, R] int32,
     cand_ok [Bp, R] bool, probed [Bp] int32 measured offered-row counts)
-    for the shared stage-2 re-rank.
+    for the shared stage-2 re-rank — plus cand_val [Bp, R] f32 (the bin
+    minima, best-first) appended when ``with_values``.
 
-    ``int8_stage1`` quantizes the permuted query symmetrically per row and
-    runs the stage-1 dot as int8 x int8 -> int32 (2x MXU throughput) — the
-    fused twin of the dense path's ``scan_dtype="int8"``; codes are {0,1}
-    so only the query rounds.
+    ``int8_stage1`` quantizes the (permuted) query symmetrically per row
+    and runs the stage-1 dot as int8 x int8 -> int32 (2x MXU throughput) —
+    the fused twin of the dense path's ``scan_dtype="int8"``.
+
+    ``direct_plane`` streams ``packed`` as a DENSE int8 code plane
+    [Np, Dpad] in natural dim order (no bit-plane permute, no in-kernel
+    unpack) — the exact-scan mode: feed the TOTAL plane with the
+    extended factors and the bin minima are final distances, no stage-2.
 
     ``max_tiles`` enables probed-tile compaction: per query block, the
     union of probed clusters maps to the row tiles containing their
@@ -518,7 +534,7 @@ def fused_select(
     if c_pad != c:
         g1 = jnp.pad(g1, ((0, 0), (0, c_pad - c)), constant_values=BIG)
         g_err = jnp.pad(g_err, ((0, 0), (0, c_pad - c)))
-    q_perm = permute_query(q_rot, padded_dim)
+    q_perm = q_rot if direct_plane else permute_query(q_rot, padded_dim)
     q_scale = None
     if int8_stage1:
         qf = q_perm.astype(jnp.float32)
@@ -596,4 +612,6 @@ def fused_select(
     cand_idx = jnp.take_along_axis(bins_idx, pos, axis=1)
     cand_ok = (neg_lb > -BIG / 2) & (cand_idx >= 0)
     probed = jnp.sum(offered, axis=1, dtype=jnp.int32)
+    if with_values:
+        return cand_idx[:b], cand_ok[:b], -neg_lb[:b], probed[:b]
     return cand_idx[:b], cand_ok[:b], probed[:b]
