@@ -22,6 +22,8 @@ Persistence is byte-compatible RBQ1 v3 (``ivf.rs:1310-1702``).
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -836,6 +838,7 @@ class IvfRabitqIndex:
             probe_k=probe_k_bucket(params.nprobe, self.cluster_count(), self.scan_dtype),
             gather_rows=gather_rows,
             fused_exact=self._fused_exact_ok(),
+            locality_depth=int(os.environ.get("RABITQ_LOCALITY", "1")),
         )
 
     def search_with_diagnostics(

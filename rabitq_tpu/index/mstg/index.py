@@ -26,6 +26,7 @@ TPU-first deviations (documented, all quality-neutral or better):
 from __future__ import annotations
 
 import functools
+import os
 import struct
 import zlib
 from dataclasses import dataclass
@@ -601,6 +602,24 @@ class MstgIndex:
             self._cl_ranges = cur = (id(self._offsets), starts, sizes)
         return cur[1], cur[2]
 
+    def _has_replicas(self) -> bool:
+        """Whether closure assignment actually replicated any vector.
+
+        The closure rule only replicates boundary points within
+        (1+ε)·closest (``mstg/closure.rs``); well-separated data can end
+        up with none at all (the 1M bench workload measures replication
+        exactly 1.0). Without replicas the per-dispatch device dedup —
+        measured 3.6 ms per b=256 block, ~17% of the serving dispatch
+        (tools/mstg_decompose.py) — and the replication-sized result
+        extraction are pure overhead, so `_dispatch_scan` skips both.
+        """
+        cur = getattr(self, "_has_repl", None)
+        if cur is None or cur[0] != id(self._ids):
+            ids = np.asarray(self._ids)
+            cur = (id(self._ids), len(np.unique(ids)) != len(ids))
+            self._has_repl = cur
+        return cur[1]
+
     def _fused_exact_ok(self) -> bool:
         """IVF twin (``IvfRabitqIndex._fused_exact_ok``): exact in-kernel
         scoring from the TOTAL plane, no stage-2 survivor gather."""
@@ -688,11 +707,14 @@ class MstgIndex:
         # vector can appear once per assigned posting list, and deduping a
         # short prefix can silently return fewer than top_k results. The
         # budget itself must also cover top_k distinct ids at the observed
-        # replication factor.
+        # replication factor. Replica-free indexes skip the whole dance:
+        # the scan extracts top_k directly and no dedup dispatch runs.
+        dedup = self._has_replicas()
         rerank = max(
             params.resolved_rerank(),
             int(np.ceil(params.top_k * self.replication_factor())) + 16,
         )
+        out_k = rerank if dedup else params.top_k
         b = sub_block if sub_block is not None else q.shape[0]
         ids, dists = self._fused_scan(
             q,
@@ -705,7 +727,7 @@ class MstgIndex:
             prune_epsilon=jnp.float32(params.pruning_epsilon),
             packed=packed,
             fused_cblk=fused_cblk,
-            top_k=rerank,
+            top_k=out_k,
             rerank=rerank,
             metric=self.config.metric,
             ex_bits=ex_bits,
@@ -725,7 +747,10 @@ class MstgIndex:
             cl_sizes=cl_sizes,
             gather_rows=gather_rows,
             fused_exact=self._fused_exact_ok(),
+            locality_depth=int(os.environ.get("RABITQ_LOCALITY", "1")),
         )
+        if not dedup:
+            return ids, dists
         return self._dedup_topk_device(ids, dists, top_k=params.top_k)
 
     def _dedup_results(

@@ -183,6 +183,7 @@ _SCAN_STATIC = (
     "probe_k",
     "gather_rows",
     "fused_exact",
+    "locality_depth",
 )
 
 
@@ -228,6 +229,7 @@ def scan_kernel(
     probe_k: int | None = None,
     gather_rows: int | None = None,
     fused_exact: bool = False,
+    locality_depth: int = 1,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
 
@@ -359,8 +361,14 @@ def scan_kernel(
             # land in the same kernel query tile, shrinking each block's
             # probed-cluster union and therefore its compacted tile list.
             # Results are inverse-permuted back — per-query output is
-            # order-independent.
-            order = jnp.argsort(ranked[:, 0])
+            # order-independent. locality_depth=2 keys on the top TWO
+            # ranked centroids (lexicographic via a composite int32 key),
+            # grouping ties on the best centroid by their second probe.
+            if locality_depth >= 2 and ranked.shape[1] >= 2:
+                key = ranked[:, 0] * jnp.int32(n_clusters) + ranked[:, 1]
+                order = jnp.argsort(key)
+            else:
+                order = jnp.argsort(ranked[:, 0])
             inv = jnp.argsort(order)
             q_in = q_rot[order]
             k1x_in = k1x_full[order]

@@ -635,3 +635,51 @@ def test_mstg_inner_product_persistence_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         [h.score for h in r0], [h.score for h in r1], rtol=1e-6
     )
+
+
+def test_no_replica_fast_path(rng):
+    """closure_epsilon=0 assigns each vector to exactly one list: the
+    serving dispatch must skip the device dedup (measured 3.6 ms per
+    b=256 block at 1M, tools/mstg_decompose.py) and return top_k
+    directly — results identical to the dedup path, ids unique."""
+    from rabitq_tpu import MstgConfig, MstgIndex, MstgSearchParams
+
+    data = rng.standard_normal((2500, 64)).astype(np.float32)
+    cfg = MstgConfig(
+        max_posting_size=128, rabitq_bits=7, use_rotator=False,
+        closure_epsilon=0.0,
+    )
+    index = MstgIndex.build(data, cfg, seed=4, scan_dtype="fused8")
+    assert not index._has_replicas()
+    assert index.replication_factor() == 1.0
+    params = MstgSearchParams(top_k=10, ef_search=6, pruning_epsilon=0.6)
+    hits = index.batch_search(data[:10], params)
+    for qi, row in enumerate(hits):
+        ids = [h.id for h in row]
+        assert qi in ids
+        assert len(set(ids)) == len(ids)
+    # forcing the dedup path must give the same results
+    index._has_repl = (id(index._ids), True)
+    hits2 = index.batch_search(data[:10], params)
+    for a, b in zip(hits, hits2):
+        assert [h.id for h in a] == [h.id for h in b]
+
+
+def test_replicated_index_keeps_dedup(rng):
+    from rabitq_tpu import MstgConfig, MstgIndex, MstgSearchParams
+
+    data = rng.standard_normal((1200, 48)).astype(np.float32)
+    cfg = MstgConfig(
+        max_posting_size=96, rabitq_bits=7, use_rotator=False,
+        closure_epsilon=0.35,
+    )
+    index = MstgIndex.build(data, cfg, seed=4, scan_dtype="fused8")
+    if not index._has_replicas():
+        import pytest
+
+        pytest.skip("closure produced no replicas on this draw")
+    params = MstgSearchParams(top_k=10, ef_search=8, pruning_epsilon=0.6)
+    for qi, row in enumerate(index.batch_search(data[:10], params)):
+        ids = [h.id for h in row]
+        assert len(set(ids)) == len(ids), "dedup must hold with replicas"
+        assert qi in ids
