@@ -229,13 +229,13 @@ def _tile_update(
     c_base,  # traced int32: the tile's cluster-window 128-block base
     q_ref,  # [tb, D8] bf16 (or int8-quantized) bit-plane-permuted queries;
     #         in DIRECT mode [tb, D] natural-order queries
-    qs_ref,  # [1, tb] f32 per-query dequant scale (ones for bf16 queries)
+    qs_ref,  # [tb, 1] f32 per-query dequant scale (ones for bf16 queries)
     packed_ref,  # [TN, Db] uint8 bit planes; DIRECT mode: [TN, D] int8 codes
     fa_ref,  # [1, TN] f32 f_add (+BIG on masked rows)
     fr_ref,  # [1, TN] f32 f_rescale
     fe_ref,  # [1, TN] f32 f_error
     cl_ref,  # [1, TN] int32 cluster ids
-    k1x_ref,  # [1, tb] f32 c1 * sum(q)
+    k1x_ref,  # [tb, 1] f32 c1 * sum(q)
     g1a_ref,  # [tb, 128] bf16 window halves of (g_add | BIG if unprobed):
     g1b_ref,  #   block-unit index maps quantize starts to the block width,
     g2a_ref,  #   so the 128-aligned W=256 window loads as two 128 blocks
@@ -267,7 +267,7 @@ def _tile_update(
         preferred_element_type=jnp.int32 if int8_q else jnp.float32,
     )  # [tb, TN]
     if int8_q:
-        acc = acc.astype(jnp.float32) * qs_ref[0, :][:, None]
+        acc = acc.astype(jnp.float32) * qs_ref[:, 0][:, None]
 
     # --- g-term expansion: one-hot window matmul (no [B, N] gather) ---
     loc = cl_ref[0, :] - c_base * 128  # [TN] in [0, W) for valid rows
@@ -289,7 +289,7 @@ def _tile_update(
 
     lb = (
         fa_ref[0, :][None, :]
-        + fr_ref[0, :][None, :] * (acc + k1x_ref[0, :][:, None])
+        + fr_ref[0, :][None, :] * (acc + k1x_ref[:, 0][:, None])
         + gterm
     )
 
@@ -419,13 +419,16 @@ def fused_bin_scan(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, d8), qrow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb), qcol, memory_space=pltpu.VMEM),
+            # per-query scalars ride as [tb, 1] columns: Pallas requires
+            # the LAST block dim divisible by 128 (or full), which a
+            # (1, tb) row violates for tb < 128 (the TB experiments)
+            pl.BlockSpec((tb, 1), qrow, memory_space=pltpu.VMEM),
             pl.BlockSpec((TN, db), row2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN), row1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb), qcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), qrow, memory_space=pltpu.VMEM),
             # cluster-window half-blocks: the scalar-prefetched c_blk drives
             # the index maps (128-block units), so only the tile's <=W-wide
             # window is resident — never the full [B, C] planes
@@ -460,13 +463,13 @@ def fused_bin_scan(
     )(
         *prefetch_args,
         q_perm,
-        (jnp.ones((bq,), jnp.float32) if q_scale is None else q_scale).reshape(1, bq),
+        (jnp.ones((bq,), jnp.float32) if q_scale is None else q_scale).reshape(bq, 1),
         packed,
         fa_eff.reshape(1, n),
         f_rescale.reshape(1, n),
         f_error.reshape(1, n),
         cluster_of.reshape(1, n).astype(jnp.int32),
-        k1x.reshape(1, bq),
+        k1x.reshape(bq, 1),
         g1,
         g1,  # same plane, second half-window index map
         g2,

@@ -72,6 +72,7 @@ def replicate(mesh: Mesh, *arrays):
         "approx_topk",
         "max_tiles",
         "probe_k",
+        "fused_exact",
     ),
 )
 def sharded_scan(
@@ -105,6 +106,7 @@ def sharded_scan(
     approx_topk: bool = True,
     max_tiles: int | None = None,
     probe_k: int | None = None,
+    fused_exact: bool = False,
 ):
     """Row-sharded batched search over a device mesh.
 
@@ -154,6 +156,10 @@ def sharded_scan(
             # local tile count; fused_select clamps as a backstop
             max_tiles=max_tiles,
             probe_k=probe_k,
+            # exact in-kernel scoring (no stage-2 survivor gather) shards
+            # cleanly: every shard's refine-plane slab keeps the width-
+            # padded 128-lane alignment the layout provides
+            fused_exact=fused_exact,
         )
         # candidate merge over ICI: [B, local_k] -> [B, n_dev * local_k]
         all_ids = jax.lax.all_gather(loc_ids, SHARD_AXIS, axis=1, tiled=True)
@@ -462,6 +468,7 @@ class ShardedIvfIndex:
             probe_k=probe_k_bucket(
                 params.nprobe, self.index.cluster_count(), self.index.scan_dtype
             ),
+            fused_exact=self.index._fused_exact_ok(),
         )
         return jax.device_get((ids, dists))
 
@@ -591,6 +598,7 @@ class ShardedMstgIndex:
             centroid_select_l2=True,
             approx_topk=index.approx_topk,
             max_tiles=self._fused_max_tiles(params.ef_search, b),
+            fused_exact=index._fused_exact_ok(),
             probe_k=probe_k_bucket(
                 params.ef_search, index.posting_list_count(), index.scan_dtype
             ),
