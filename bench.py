@@ -207,6 +207,14 @@ def main():
                     "in BOTH fast- and slow-tunnel sessions, "
                     "BENCHMARKS.md 'Upload encoding')")
     ap.add_argument("--pipeline-block", type=int, default=256)
+    ap.add_argument("--upload-block", type=int, default=1024,
+                    help="query-upload superblock size for the pipelined "
+                    "serving loops (0 = put per dispatch block). With the "
+                    "round-4 exact scan, dispatches are ~3.5 ms and serving "
+                    "is upload-bound: ub=1024 measured 18.6k -> 23.6k "
+                    "pipelined / 23.9k -> 34.1k sustained-stream QPS at the "
+                    "1M headline (BENCHMARKS.md 'Superblock uploads, "
+                    "revisited')")
     ap.add_argument("--compare-dtypes", action="store_true",
                     help="also measure bf16/packed at the operating point "
                     "(costs a device-layout rebuild each)")
@@ -255,9 +263,12 @@ def main():
     # a real serving loop would.
     index.upload_dtype = args.upload_dtype
     block = min(args.pipeline_block, args.batch)
+    ub = args.upload_block if args.upload_block > 0 else None
 
     def run_all(params):
-        return index.batch_search_arrays_pipelined(queries, params, batch_size=block)
+        return index.batch_search_arrays_pipelined(
+            queries, params, batch_size=block, upload_block=ub
+        )
 
     # --- nprobe sweep (nprobe is traced; the dense paths compile once.
     # fused compiles one variant per pow2 max_tiles/probe_k bucket —
@@ -298,7 +309,9 @@ def main():
     qps = 0.0
     for _ in range(2):
         t0 = time.time()
-        index.batch_search_arrays_pipelined(stream, params, batch_size=block)
+        index.batch_search_arrays_pipelined(
+            stream, params, batch_size=block, upload_block=ub
+        )
         qps = max(qps, stream.shape[0] / (time.time() - t0))
     log(f"sustained stream ({stream.shape[0]} queries): {qps:.1f} QPS")
     dtype_qps = {args.scan_dtype: qps}
@@ -349,7 +362,7 @@ def main():
         "qps_per_call": round(qps_call, 1),  # one fetch-sync per 2048
         "nprobe": chosen,
         "scan_dtype": best_dtype,
-        "upload": f"{args.upload_dtype}-pipelined-b{block}",
+        "upload": f"{args.upload_dtype}-pipelined-b{block}-ub{ub or block}",
         "dtype_qps": {k: round(v, 1) for k, v in dtype_qps.items()},
     }
 
@@ -375,7 +388,9 @@ def main():
         mstg.upload_dtype = args.upload_dtype
 
         def mstg_run(mp):
-            hits = mstg.batch_search_pipelined(queries, mp, batch_size=block)
+            hits = mstg.batch_search_pipelined(
+                queries, mp, batch_size=block, upload_block=ub
+            )
             return np.array(
                 [[h.id for h in row] + [-1] * (args.top_k - len(row)) for row in hits]
             )
@@ -414,7 +429,7 @@ def main():
         for _ in range(2):
             t0 = time.time()
             mstg.batch_search_pipelined(
-                np.tile(queries, (3, 1)), mp, batch_size=block
+                np.tile(queries, (3, 1)), mp, batch_size=block, upload_block=ub
             )
             mstg_stream_qps = max(
                 mstg_stream_qps, 3 * args.queries / (time.time() - t0)

@@ -78,7 +78,7 @@ def cell_main(args):
     index.scan_dtype = "fused8"
     index.upload_dtype = "int8"
     log(f"[tb={args.tb} loc={args.loc}] load: {time.time()-t0:.1f}s")
-    gt = load_or_make_groundtruth(data, queries, 1_000_000, 960, 2048, 10)
+    gt = load_or_make_groundtruth(data, queries, 1_000_000, 960, 4096, 10)
     params = SearchParams(top_k=10, nprobe=args.nprobe)
     bs = args.block
 

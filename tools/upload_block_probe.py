@@ -61,7 +61,7 @@ def main():
     index.scan_dtype = "fused8"
     index.upload_dtype = "int8"
     log(f"load: {time.time()-t0:.1f}s")
-    gt = load_or_make_groundtruth(data, queries, 1_000_000, 960, 2048, 10)
+    gt = load_or_make_groundtruth(data, queries, 1_000_000, 960, 4096, 10)
     params = SearchParams(top_k=10, nprobe=args.nprobe)
     stream = np.tile(queries, (3, 1))
     results = {}
