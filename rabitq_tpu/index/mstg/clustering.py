@@ -64,6 +64,7 @@ def hierarchical_cluster(
     seed: int = 42,
     data_dev=None,
     refine_iters: int = 12,
+    assign_dtype: str = "f32",
 ) -> ClusterSet:
     data = np.ascontiguousarray(data, np.float32)
     n = data.shape[0]
@@ -119,11 +120,11 @@ def hierarchical_cluster(
             rows_pad[:target] = sel
             train_dev = jnp.take(data_pad, jnp.asarray(rows_pad), axis=0)
             key = jax.random.PRNGKey((seed + split_round) * 1_000_003)
-            cents.append(
-                np.asarray(
-                    _kmeans_device(train_dev, key, k, kmeans_iters, block, target, False)
-                )
+            cent_dev, _ = _kmeans_device(
+                train_dev, key, k, kmeans_iters, block, target, False,
+                assign_dtype=assign_dtype,
             )
+            cents.append(np.asarray(cent_dev))
             ks.append(k)
 
         # --- ONE grouped assignment dispatch for the whole level ---
@@ -145,6 +146,7 @@ def hierarchical_cluster(
                 jnp.asarray(cent_group),
                 jnp.asarray(row_group),
                 block,
+                assign_dtype,
             )
         )[:n]
 
@@ -174,21 +176,24 @@ def hierarchical_cluster(
 
     if refine_iters > 0 and len(final) > 1:
         final = _global_polish(
-            data, data_pad, n, final, max_cluster_size, refine_iters
+            data, data_pad, n, final, max_cluster_size, refine_iters,
+            assign_dtype=assign_dtype,
         )
 
     centroids = np.stack([data[m].mean(axis=0) for m in final]).astype(np.float32)
     return ClusterSet(members=final, centroids=centroids)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _polish_step(data, centroids, cent_group, row_group, block):
+@functools.partial(jax.jit, static_argnames=("block", "assign_dtype"))
+def _polish_step(data, centroids, cent_group, row_group, block, assign_dtype="f32"):
     """One global Lloyd iteration over the LEAF centroids: grouped
     assignment (padded centroid slots carry group -2 and match no row) +
     segment-sum centroid update. Empty slots keep their old centroid (no
     reseed: the polish must not invent new lists)."""
     c_pad = centroids.shape[0]
-    assign = _grouped_assign_blocks(data, centroids, cent_group, row_group, block)
+    assign = _grouped_assign_blocks(
+        data, centroids, cent_group, row_group, block, assign_dtype
+    )
     seg = jnp.where(row_group == 0, assign, c_pad)  # padding rows -> scratch
     sums = jax.ops.segment_sum(data, seg, num_segments=c_pad + 1)[:c_pad]
     counts = jax.ops.segment_sum(
@@ -207,6 +212,7 @@ def _global_polish(
     final: list[np.ndarray],
     max_cluster_size: int,
     refine_iters: int,
+    assign_dtype: str = "f32",
 ) -> list[np.ndarray]:
     """Global Lloyd polish of the leaf partition.
 
@@ -244,7 +250,9 @@ def _global_polish(
     rg_dev = jnp.asarray(row_group)
     assign = None
     for _ in range(refine_iters):
-        assign, cent_dev = _polish_step(data_pad, cent_dev, cg_dev, rg_dev, block)
+        assign, cent_dev = _polish_step(
+            data_pad, cent_dev, cg_dev, rg_dev, block, assign_dtype
+        )
     assign = np.asarray(assign)[:n]
     order = np.argsort(assign, kind="stable")  # rows stay ascending per list
     counts = np.bincount(assign, minlength=c)

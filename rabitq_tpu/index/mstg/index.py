@@ -112,15 +112,15 @@ class MstgIndex:
         self._codes_dev = _codes_dev
         self.scan_dtype = scan_dtype
         self.approx_topk = approx_topk if approx_topk is not None else scan_dtype != "f32"
-        # query upload encoding for serving ("f32" | "bf16" | "int8") —
-        # same contract as IvfRabitqIndex.upload_dtype: fewer bytes over
-        # the host link, all math f32 on device after decode
+        # query upload encoding for serving ("f32" | "bf16" | "int8" |
+        # "int4") — same contract as IvfRabitqIndex.upload_dtype: fewer
+        # bytes over the host link, all math f32 on device after decode
         self.upload_dtype: str = "f32"
         self.build_report: dict | None = None  # build phase report
         self._device = None
         # optional rotation fused into the scan program (one dispatch)
         self._fused_scan = make_fused_search(
-            rotator.rotate if rotator is not None else None
+            rotator.rotate if rotator is not None else None, dim=self.dim
         )
         # disk-tier scaffolding (mstg/metadata.rs parity); all lists resident
         row_bytes = self.quant_dim * 2 if self._ids.size else 0
@@ -223,7 +223,10 @@ class MstgIndex:
 
         _log = get_logger("mstg")
 
-        # Step 1: hierarchical balanced clustering
+        # Step 1: hierarchical balanced clustering (assignment matmuls in
+        # bf16 above ~64M elements, same auto policy as IVF train)
+        from ...ops.kmeans import auto_assign_dtype
+
         with timed(f"hierarchical clustering n={n}", _log):
             clusters = hierarchical_cluster(
                 data,
@@ -233,6 +236,7 @@ class MstgIndex:
                 seed=seed,
                 data_dev=data_dev,
                 refine_iters=config.refine_iters,
+                assign_dtype=auto_assign_dtype(n, orig_dim),
             )
         centroids = clusters.centroids
 
@@ -376,16 +380,24 @@ class MstgIndex:
         key = id(self._offsets)
         cache = getattr(self, "_fused_ok_cache", None)
         if cache is None or cache[0] != key:
-            from ...ops.pallas_fused_scan import fused_geometry_ok
+            from ...ops.pallas_fused_scan import (
+                fused_fits_vmem,
+                fused_geometry_ok,
+            )
 
-            cache = (key, fused_geometry_ok(np.diff(self._offsets)))
+            plane_w = self.quant_dim + (-self.quant_dim) % 128
+            ok = fused_geometry_ok(np.diff(self._offsets)) and fused_fits_vmem(
+                plane_w, direct=False, int8_q=self.scan_dtype == "fused8"
+            )
+            cache = (key, ok)
             self._fused_ok_cache = cache
         if not cache[1]:
             from ...utils.logging import get_logger
 
             get_logger("mstg").warning(
-                "posting-list geometry too fine for scan_dtype=%r; "
-                "falling back to bf16",
+                "posting-list geometry unsuited for scan_dtype=%r (too "
+                "fine, or tile footprint over the VMEM budget at this "
+                "dim); falling back to bf16",
                 self.scan_dtype,
             )
             self.scan_dtype = "bf16"
@@ -560,7 +572,12 @@ class MstgIndex:
             pad = top_k - r
             out_ids = jnp.pad(out_ids, ((0, 0), (0, pad)), constant_values=-1)
             out_d = jnp.pad(out_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-        return out_ids, out_d
+        # presentation sort: the exact scan's f32 g_add correction can
+        # flip kernel-order near-ties, and users expect monotone scores
+        # (index/scan.py sort_result_rows — the fast path's twin)
+        from ..scan import sort_result_rows
+
+        return sort_result_rows(out_ids, out_d)
 
     def _gather_budget(self, ef_search) -> int | None:
         """Static per-query gather budget (IVF twin — OPT-IN via
@@ -629,10 +646,14 @@ class MstgIndex:
 
         if os.environ.get("RABITQ_FUSED_EXACT", "1") == "0":
             return False
+        from ...ops.pallas_fused_scan import fused_fits_vmem
+
+        plane_w = self.quant_dim + (-self.quant_dim) % 128
         return (
             is_fused(self.scan_dtype)
             and self.config.refine_ex
             and ex_plane_is_total(self.config.rabitq_bits - 1)
+            and fused_fits_vmem(plane_w, direct=True)
         )
 
     def _scan_planes(self, dev):
@@ -675,6 +696,10 @@ class MstgIndex:
             scale = np.maximum(np.abs(q).max(axis=1), 1e-30) / 127.0
             q_i8 = np.clip(np.rint(q / scale[:, None]), -127, 127).astype(np.int8)
             return q_i8, scale.astype(np.float32)
+        if self.upload_dtype == "int4":
+            from ..scan import pack_int4_queries
+
+            return pack_int4_queries(q)
         return q, None
 
     def _dispatch_scan(
@@ -747,6 +772,10 @@ class MstgIndex:
             cl_sizes=cl_sizes,
             gather_rows=gather_rows,
             fused_exact=self._fused_exact_ok(),
+            # dedup path: keep the kernel's best-first candidate order
+            # through dedup (its top_k selection must match the fast
+            # path's); _dedup_topk_device applies the presentation sort
+            fused_exact_sort=not dedup,
             locality_depth=int(os.environ.get("RABITQ_LOCALITY", "1")),
         )
         if not dedup:
@@ -796,8 +825,10 @@ class MstgIndex:
         small result is fetched at the end. Results are identical to
         ``batch_search``; all blocks share one compiled program.
         ``upload_block`` decouples put granularity from dispatch
-        granularity exactly as on the IVF twin (measured slower; kept for
-        experiments)."""
+        granularity exactly as on the IVF twin; 1024 is the measured
+        serving default since round 4 (BENCHMARKS.md "Superblock
+        uploads, revisited" — with ~3.5 ms exact-scan dispatches serving
+        is upload-bound and fewer, larger puts win)."""
         if self.total_rows == 0:
             raise EmptyIndex()
         queries = np.atleast_2d(np.asarray(queries, np.float32))

@@ -16,8 +16,12 @@ follow ``mstg/config.rs:38-62``, ``mstg/posting_list.rs:6-32`` and
 
 Both directions are supported: :func:`load_reference_mstg` parses
 reference-written files, and :func:`save_reference_mstg` emits a
-byte-compatible bincode v1 body (the hnsw_rs graph dump side-files are
-NOT produced — see the writer's docstring). The native single-file
+byte-compatible bincode v1 body PLUS the ``{base}.hnsw.graph``/
+``.hnsw.data`` centroid-graph dumps the reference's loader
+hard-requires (built by :mod:`.hnsw_graph` and serialized by
+:mod:`.hnswio`; the hnsw_rs byte layout is transcribed from the public
+crate source and verified by an independent parser only — see the
+writer's docstring for per-field confidence). The native single-file
 v1003 format remains the default write format; the two formats are
 versioned apart and the smart loaders on both sides reject the other's
 version tag rather than misparse it.

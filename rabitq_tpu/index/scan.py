@@ -166,6 +166,20 @@ def gather_budget_bucket(cluster_sizes, nprobe) -> int | None:
     return 1 << (bound - 1).bit_length()
 
 
+def sort_result_rows(ids: jax.Array, dists: jax.Array):
+    """Row-sort a final ``[B, k]`` result block ascending by distance
+    (invalid entries carry +inf and land last). Used as a PRESENTATION
+    pass after the top-k set has been selected in the kernel's bf16
+    order: the exact scan's f32 g_add correction can flip near-ties
+    (< g * 2^-9 relative), and users reasonably expect monotone scores.
+    Traced (device) op — call inside the dispatching program."""
+    order = jnp.argsort(dists, axis=1)
+    return (
+        jnp.take_along_axis(ids, order, axis=1),
+        jnp.take_along_axis(dists, order, axis=1),
+    )
+
+
 _SCAN_STATIC = (
     "top_k",
     "rerank",
@@ -183,6 +197,7 @@ _SCAN_STATIC = (
     "probe_k",
     "gather_rows",
     "fused_exact",
+    "fused_exact_sort",
     "locality_depth",
 )
 
@@ -229,6 +244,7 @@ def scan_kernel(
     probe_k: int | None = None,
     gather_rows: int | None = None,
     fused_exact: bool = False,
+    fused_exact_sort: bool = True,
     locality_depth: int = 1,
 ):
     """Returns (result_ids [B, top_k] int32, result_dist [B, top_k] f32).
@@ -415,8 +431,24 @@ def scan_kernel(
             if fused_exact:
                 cand_val = cand_val[inv]
         if fused_exact:
-            # bin minima ARE the final distances (best-first from the
-            # in-kernel selection): build results with no re-rank pass
+            # bin minima ARE the final distances. g_add entered the kernel
+            # as bf16 (the larger rounding term for L2 — the q operand's
+            # 2^-9 is the other); restore the f32 g_add on the RETURNED
+            # values with a per-(query, cluster) correction so
+            # user-visible distances carry stage-2 precision. The top_k
+            # SET stays the kernel's bf16 order (selecting by corrected
+            # values would let the no-replica fast path — extracting
+            # top_k — and the dedup path — extracting rerank-wide —
+            # disagree at sub-2^-9 tie boundaries; tests pin their exact
+            # agreement). Presentation order is then fixed up by a final
+            # row-sort on the corrected values (``fused_exact_sort``,
+            # disabled by the MSTG dedup caller whose ``_dedup_topk_device``
+            # sorts after its own top_k selection instead).
+            g_corr = g_add - g_add.astype(jnp.bfloat16).astype(jnp.float32)
+            corr = jnp.take_along_axis(
+                g_corr, jnp.take(cluster_of, jnp.maximum(cand_idx, 0)), axis=1
+            )
+            cand_val = cand_val + jnp.where(cand_ok, corr, 0.0)
             result_dist = jnp.where(
                 cand_ok & jnp.isfinite(cand_val), cand_val, jnp.inf
             )
@@ -440,7 +472,13 @@ def scan_kernel(
                 result_dist = jnp.pad(
                     result_dist, ((0, 0), (0, pad)), constant_values=jnp.inf
                 )
-            result = (result_ids[:, :top_k], result_dist[:, :top_k])
+            result_ids = result_ids[:, :top_k]
+            result_dist = result_dist[:, :top_k]
+            if fused_exact_sort:
+                result_ids, result_dist = sort_result_rows(
+                    result_ids, result_dist
+                )
+            result = (result_ids, result_dist)
         else:
             rerank = cand_idx.shape[1]
             result = _stage2_rerank(
@@ -710,7 +748,24 @@ def _stage2_rerank(
     return result_ids, result_dist
 
 
-def make_fused_search(rotate_fn):
+def pack_int4_queries(q: np.ndarray):
+    """Host-side int4 query encoding: symmetric per-query scale to
+    [-7, 7], two dims packed per byte (lo nibble = even dim, hi = odd —
+    the exact inverse of ``make_fused_search``'s device decode). Returns
+    (packed uint8 [B, ceil(dim/2)], scale f32 [B]). 8x fewer upload
+    bytes than f32; ~7% max-coordinate rounding — see BENCHMARKS.md
+    "int4 query uploads" for the measured recall cost."""
+    b, dim = q.shape
+    scale = np.maximum(np.abs(q).max(axis=1), 1e-30) / 7.0
+    qi = np.clip(np.rint(q / scale[:, None]), -7, 7).astype(np.int8)
+    if dim % 2:
+        qi = np.concatenate([qi, np.zeros((b, 1), np.int8)], axis=1)
+    lo = qi[:, 0::2] & 0x0F
+    hi = (qi[:, 1::2] & 0x0F) << 4
+    return (lo | hi).astype(np.uint8), scale.astype(np.float32)
+
+
+def make_fused_search(rotate_fn, dim: int | None = None):
     """One jitted program per index: rotation fused into the scan.
 
     The reference rotates inside search (``ivf.rs:1776``); round 1 ran
@@ -721,15 +776,20 @@ def make_fused_search(rotate_fn):
 
     ``rotate_fn`` maps raw queries ``[B, dim] -> [B, Dpad]``; pass None
     for indexes that quantize in the original space (MSTG default).
+    ``dim`` (the raw query width) is required to decode int4-packed
+    query uploads (two dims per byte — the packed array's width alone is
+    ambiguous for odd dims).
     """
 
     @functools.partial(
         jax.jit, static_argnames=_SCAN_STATIC + ("sub_block",)
     )
     def fused(q, *args, qscale=None, offset=None, sub_block=None, **kwargs):
-        # accept bf16 (half) or symmetric-int8 (quarter) query uploads
-        # (index.upload_dtype): fewer bytes over the host link; all math
-        # stays f32 from here on. int8 carries a per-query scale.
+        # accept bf16 (half), symmetric-int8 (quarter) or packed-int4
+        # (eighth) query uploads (index.upload_dtype): fewer bytes over
+        # the host link; all math stays f32 from here on. int8/int4 carry
+        # a per-query scale; int4 arrives as uint8 nibble PAIRS
+        # (lo nibble = even dim, hi = odd), sign-extended on device.
         if sub_block is not None:
             # superblock serving: q is an UPLOAD block of many compute
             # blocks resident on device; each dispatch scans the
@@ -741,6 +801,12 @@ def make_fused_search(rotate_fn):
                 qscale = jax.lax.dynamic_slice_in_dim(
                     qscale, offset, sub_block, axis=0
                 )
+        if q.dtype == jnp.uint8:  # int4-packed pairs
+            assert dim is not None, "int4 uploads need make_fused_search(dim=)"
+            b8 = q.astype(jnp.int8)
+            lo = jnp.right_shift(jnp.left_shift(b8, 4), 4)  # arithmetic
+            hi = jnp.right_shift(b8, 4)
+            q = jnp.stack([lo, hi], axis=-1).reshape(q.shape[0], -1)[:, :dim]
         q = q.astype(jnp.float32)
         if qscale is not None:
             q = q * qscale[:, None]

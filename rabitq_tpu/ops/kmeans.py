@@ -39,6 +39,29 @@ class KMeansResult:
     centroids: np.ndarray  # [k, D] f32
     assignments: np.ndarray  # [N] int32
     objective: float
+    iters: int = 0  # Lloyd iterations actually run (< niter on early stop)
+    report: dict | None = None  # phase timings {init_s, lloyd_s, assign_s}
+
+
+def auto_assign_dtype(n: int, dim: int, threshold_elems: int = 1 << 26) -> str:
+    """Resolve the builds' ``"auto"`` k-means dtype policy: bf16 MXU
+    operands once the dataset passes ~64M elements (256 MB f32 — where
+    the assignment matmuls dominate build wall-clock), f32 below (tiny
+    runs stay bit-identical to the numpy oracles the tests compare)."""
+    return "bf16" if n * dim >= threshold_elems else "f32"
+
+
+def _matmul_dtype(assign_dtype: str):
+    """MXU operand dtype for assignment dots. ``bf16`` runs the MXU at
+    native rate (~3x the f32 emulation) — distances are only compared
+    against each other for an argmin, so the 2^-9 operand rounding moves
+    a negligible sliver of boundary points between clusters (measured
+    recall-neutral at the 1M bench, BENCHMARKS.md round-5 k-means)."""
+    if assign_dtype == "bf16":
+        return jnp.bfloat16
+    if assign_dtype == "f32":
+        return jnp.float32
+    raise ValueError(f"unknown assign_dtype {assign_dtype!r}")
 
 
 def _block_size(k: int) -> int:
@@ -59,20 +82,27 @@ def _pad_pow2(n: int, floor: int = 256) -> int:
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _assign_blocks(data: jax.Array, centroids: jax.Array, block: int):
+@functools.partial(jax.jit, static_argnames=("block", "assign_dtype"))
+def _assign_blocks(
+    data: jax.Array, centroids: jax.Array, block: int, assign_dtype: str = "f32"
+):
     """Blockwise nearest-centroid assignment.
 
     data [N, D] (N a multiple of ``block``), centroids [k, D]. Returns
     (assignments [N] int32, min_dists [N] f32). Distance is the clamped
-    expansion ||x||^2 + ||c||^2 - 2 x.c (``kmeans.rs:496-507``).
+    expansion ||x||^2 + ||c||^2 - 2 x.c (``kmeans.rs:496-507``);
+    ``assign_dtype="bf16"`` runs the dot with bf16 MXU operands
+    (norms stay f32 — see :func:`_matmul_dtype`).
     """
     n, d = data.shape
+    op = _matmul_dtype(assign_dtype)
     c_norm = jnp.sum(centroids * centroids, axis=-1)  # [k]
-    ct = centroids.T  # [D, k]
+    ct = centroids.T.astype(op)  # [D, k]
 
     def one_block(xb):
-        dot = jnp.dot(xb, ct, preferred_element_type=jnp.float32)  # [block, k]
+        dot = jnp.dot(
+            xb.astype(op), ct, preferred_element_type=jnp.float32
+        )  # [block, k]
         x_norm = jnp.sum(xb * xb, axis=-1, keepdims=True)
         dist = jnp.maximum(x_norm + c_norm[None, :] - 2.0 * dot, 0.0)
         best = jnp.argmin(dist, axis=-1)
@@ -83,13 +113,14 @@ def _assign_blocks(data: jax.Array, centroids: jax.Array, block: int):
     return assign.reshape(n), dists.reshape(n)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
+@functools.partial(jax.jit, static_argnames=("block", "assign_dtype"))
 def _grouped_assign_blocks(
     data: jax.Array,  # [N, D] (N a multiple of block)
     centroids: jax.Array,  # [C, D] children of MANY parent clusters
     cent_group: jax.Array,  # [C] int32 parent-group id per centroid
     row_group: jax.Array,  # [N] int32 parent-group id per row (-1: not split)
     block: int,
+    assign_dtype: str = "f32",
 ):
     """Group-restricted nearest-centroid assignment: each row only
     considers centroids whose ``cent_group`` equals its ``row_group``.
@@ -100,12 +131,15 @@ def _grouped_assign_blocks(
     10-120 s compile behind the remote-compile tunnel).
     """
     n, d = data.shape
+    op = _matmul_dtype(assign_dtype)
     c_norm = jnp.sum(centroids * centroids, axis=-1)  # [C]
-    ct = centroids.T
+    ct = centroids.T.astype(op)
 
     def one_block(args):
         xb, gb = args
-        dot = jnp.dot(xb, ct, preferred_element_type=jnp.float32)  # [block, C]
+        dot = jnp.dot(
+            xb.astype(op), ct, preferred_element_type=jnp.float32
+        )  # [block, C]
         x_norm = jnp.sum(xb * xb, axis=-1, keepdims=True)
         dist = jnp.maximum(x_norm + c_norm[None, :] - 2.0 * dot, 0.0)
         ok = gb[:, None] == cent_group[None, :]
@@ -151,7 +185,7 @@ def _kmeanspp_init(data: jax.Array, key: jax.Array, k: int, n_valid) -> jax.Arra
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block", "spherical")
+    jax.jit, static_argnames=("k", "block", "spherical", "assign_dtype")
 )
 def _lloyd_step(
     data: jax.Array,  # [N_pad, D], rows >= n_valid are padding
@@ -160,9 +194,12 @@ def _lloyd_step(
     block: int,
     n_valid,  # traced: varying cluster sizes must not recompile
     spherical: bool,
-) -> jax.Array:
+    assign_dtype: str = "f32",
+):
     """One Lloyd iteration on device: blockwise assignment, segment-sum
     update, empty-cluster reseed from far points (``kmeans.rs:564-602``).
+    Returns (new_centroids, objective) — the objective (sum of min sq
+    dists against the INPUT centroids) drives the early stop.
 
     Jitted per-step (not one fused niter-long program): the carry stays on
     device between dispatches, and the much smaller program compiles ~10x
@@ -171,8 +208,9 @@ def _lloyd_step(
     """
     n, d = data.shape
     row_valid = jnp.arange(n) < n_valid
-    assign, dists = _assign_blocks(data, centroids, block)
+    assign, dists = _assign_blocks(data, centroids, block, assign_dtype)
     assign = jnp.where(row_valid, assign, k)  # padding -> scratch segment
+    objective = jnp.sum(jnp.where(row_valid, dists, 0.0), dtype=jnp.float32)
     sums = jax.ops.segment_sum(data, assign, num_segments=k + 1)[:k]
     counts = jax.ops.segment_sum(
         jnp.ones((n,), jnp.float32), assign, num_segments=k + 1
@@ -187,7 +225,17 @@ def _lloyd_step(
     if spherical:
         norms = jnp.linalg.norm(new_c, axis=-1, keepdims=True)
         new_c = jnp.where(norms > 0, new_c / jnp.maximum(norms, 1e-30), new_c)
-    return new_c
+    return new_c, objective
+
+
+def _init_rows_cap(k: int, n: int) -> int:
+    """Row budget for the k-means++ init pass. The init is k sequential
+    bandwidth-bound matvec steps over the candidate rows — on the full
+    training set it rivals the Lloyd loop itself (measured ~linear in
+    rows x k) — while seeding quality saturates far below 256 rows per
+    centroid. 64/centroid (>= 65536) keeps the seeds statistically
+    indistinguishable and cuts the init pass ~4x at the 1M/4096 build."""
+    return max(min(64 * k, n), min(n, 65_536))
 
 
 def _kmeans_device(
@@ -198,12 +246,58 @@ def _kmeans_device(
     block: int,
     n_valid: int,
     spherical: bool,
+    assign_dtype: str = "f32",
+    tol: float = 0.0,
+    timings: dict | None = None,
 ) -> jax.Array:
-    """k-means++ init + niter Lloyd steps; carry stays device-resident."""
-    centroids = _kmeanspp_init(data, key, k, n_valid)
-    for _ in range(niter):
-        centroids = _lloyd_step(data, centroids, k, block, n_valid, spherical)
-    return centroids
+    """k-means++ init + Lloyd steps; carry stays device-resident.
+
+    ``tol > 0`` stops early when the relative objective improvement of a
+    Lloyd step falls below ``tol`` (the reference iterates a fixed count,
+    ``kmeans.rs:291``; converged runs just re-confirm the assignment).
+    The objective check fetches one scalar per step with one step of
+    lookahead enqueued, so the device never idles waiting on the host.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    init_rows = _init_rows_cap(k, n_valid)
+    if init_rows < n_valid:
+        # contiguous-prefix subsample: callers hand rows in randomized
+        # (permuted-subset or dataset) order, so a prefix is an unbiased
+        # draw; a pow2 bucket keeps the compile count bounded
+        m = min(_pad_pow2(init_rows), data.shape[0])
+        centroids = _kmeanspp_init(
+            jax.lax.slice_in_dim(data, 0, m, axis=0), key, k, min(init_rows, m)
+        )
+    else:
+        centroids = _kmeanspp_init(data, key, k, n_valid)
+    if timings is not None:
+        centroids.block_until_ready()
+        timings["init_s"] = round(_time.perf_counter() - t0, 2)
+        t0 = _time.perf_counter()
+    iters = 0
+    prev_obj = None
+    pending = None  # (centroids, objective) one step ahead of the check
+    for i in range(niter):
+        centroids, obj = _lloyd_step(
+            data, centroids, k, block, n_valid, spherical, assign_dtype
+        )
+        iters = i + 1
+        if tol <= 0.0:
+            continue
+        if pending is not None:
+            o = float(pending)  # sync: the PREVIOUS step's objective
+            if prev_obj is not None and (prev_obj - o) <= tol * max(
+                abs(prev_obj), 1e-30
+            ):
+                break
+            prev_obj = o
+        pending = obj
+    if timings is not None:
+        centroids.block_until_ready()
+        timings["lloyd_s"] = round(_time.perf_counter() - t0, 2)
+    return centroids, iters
 
 
 def run_kmeans(
@@ -216,6 +310,9 @@ def run_kmeans(
     max_points_per_centroid: int = DEFAULT_MAX_POINTS_PER_CENTROID,
     data_dev: jax.Array | None = None,
     n_valid: int | None = None,
+    assign_dtype: str = "f32",
+    tol: float = 0.0,
+    with_report: bool = False,
 ) -> KMeansResult:
     """Run k-means. ``data`` [N, D] float32 (host).
 
@@ -226,6 +323,16 @@ def run_kmeans(
     assignments (callers pad to pow2 buckets so repeated variable-size
     k-means runs reuse compiled programs). Deterministic for a given seed
     (matches the property asserted by ``kmeans.rs:757-780``).
+
+    ``assign_dtype="bf16"`` runs the assignment dots (the FLOPs) with
+    bf16 MXU operands; ``tol`` enables the objective early stop (see
+    ``_kmeans_device``); ``with_report`` adds phase timings to the
+    result's ``report`` (syncs between phases — measurement only).
+    Under bf16 the reported ``objective`` carries ~|x||c|*2^-9 absolute
+    dot-rounding noise per row — fine for the early-stop delta and for
+    nredo comparison (both compare like against like), but score the
+    final partition with an f32 ``assign_dataset`` when the absolute
+    value matters.
     """
     if data_dev is None:
         data = np.ascontiguousarray(data, dtype=np.float32)
@@ -263,17 +370,28 @@ def run_kmeans(
 
     best: KMeansResult | None = None
     for redo in range(nredo):
+        import time as _time
+
+        timings: dict | None = {} if with_report else None
         key = jax.random.PRNGKey(seed * 1_000_003 + redo)
-        centroids = np.asarray(
-            _kmeans_device(train_dev, key, k, niter, block, nt, spherical)
+        cent_dev, iters = _kmeans_device(
+            train_dev, key, k, niter, block, nt, spherical,
+            assign_dtype=assign_dtype, tol=tol, timings=timings,
         )
+        centroids = np.asarray(cent_dev)
         # the final full-dataset assignment picks its own tile size: the
         # training block may be capped by a small sampled subset
+        t0 = _time.perf_counter()
         assignments, objective = assign_dataset(
-            data_dev, centroids, block=None, n_valid=n
+            data_dev, centroids, block=None, n_valid=n,
+            assign_dtype=assign_dtype,
         )
+        if timings is not None:
+            timings["assign_s"] = round(_time.perf_counter() - t0, 2)
+            timings["assign_dtype"] = assign_dtype
         result = KMeansResult(
-            centroids=centroids, assignments=assignments, objective=objective
+            centroids=centroids, assignments=assignments,
+            objective=objective, iters=iters, report=timings,
         )
         if best is None or result.objective < best.objective:
             best = result
@@ -282,7 +400,11 @@ def run_kmeans(
 
 
 def assign_dataset(
-    data, centroids: np.ndarray, block: int | None = None, n_valid: int | None = None
+    data,
+    centroids: np.ndarray,
+    block: int | None = None,
+    n_valid: int | None = None,
+    assign_dtype: str = "f32",
 ) -> tuple[np.ndarray, float]:
     """Assign every row of ``data`` (host or device array) to its nearest
     centroid (``kmeans.rs:604-642``).
@@ -308,7 +430,9 @@ def assign_dataset(
         data_pad = np.zeros((n_pad, dim), np.float32)
         data_pad[:n] = np.ascontiguousarray(data, np.float32)
         data_dev = jnp.asarray(data_pad)
-    assign, dists = _assign_blocks(data_dev, jnp.asarray(centroids), block)
+    assign, dists = _assign_blocks(
+        data_dev, jnp.asarray(centroids), block, assign_dtype
+    )
     assign = np.asarray(assign)[:n_valid]
     objective = float(np.sum(np.asarray(dists)[:n_valid], dtype=np.float64))
     return assign, objective

@@ -29,6 +29,15 @@ This replaces the reference's per-cluster FastScan loop + live top-k heap
 (lqhl/rabitq-rs ``simd.rs:972-1186``, ``ivf.rs:2045-2057``) with a
 single-pass streaming selection sized for the MXU/VPU.
 
+Precision in EXACT mode (``direct_plane``/``with_values``): the bin
+minima are the FINAL distances. The q operand is bf16 (2^-9 relative
+rounding on the dot) and g_add also enters as bf16 — the larger rounding
+term for L2. The caller (``index/scan.py`` fused_exact) adds the f32
+g_add correction back onto the returned values, so user-visible
+distances carry stage-2 precision; the RANKING stays the kernel's bf16
+order (so extraction width never changes results at tie boundaries),
+meaning returned distances may be non-monotonic by < g * 2^-9.
+
 Tile geometry (v5e, ~16 MB VMEM budget; defaults hardware-validated in
 BENCHMARKS.md "fused bin geometry"):
   TB=128 queries x TN=512 rows per step, W=256 cluster window,
@@ -60,6 +69,47 @@ TB = int(os.environ.get("RABITQ_FUSED_TB", "128"))
 GROUPS = int(os.environ.get("RABITQ_FUSED_GROUPS", "16"))
 W = 256  # cluster window width (two 128-lane blocks)
 BIG = 1.0e30  # masked-value sentinel (finite: inf would poison bf16 math)
+
+
+# Per-core VMEM budget the tile geometry must fit (v5e ~16 MB/core).
+VMEM_BUDGET_BYTES = 16 * 2**20
+
+
+def vmem_step_bytes(
+    dpad: int, direct: bool, int8_q: bool = False, tb: int | None = None
+) -> int:
+    """Conservative per-grid-step VMEM footprint estimate for the bin
+    kernel at query-plane width ``dpad``: double-buffered input blocks +
+    resident bin outputs + in-kernel temporaries (unpacked bits, the dot
+    accumulator, the one-hot window). ``direct`` is the EXACT-scan mode
+    (dense int8 total plane, bf16 q); otherwise packed bit planes with
+    bf16 (or ``int8_q``) queries. Deliberately errs high — Mosaic reuses
+    temporary buffers — so the guard only ever falls back to a correct
+    slower path, never admits an over-budget geometry."""
+    tb = TB if tb is None else tb
+    db = (((dpad + 7) // 8) + 127) // 128 * 128  # packed bytes, 128-lane pad
+    d8 = dpad if direct else 8 * db
+    code_w = dpad if direct else db
+    l_bins = GROUPS * TN
+    q_bytes = tb * d8 * (1 if int8_q else 2)
+    inputs = 2 * (  # double-buffered block DMAs
+        q_bytes + tb * 4 + TN * code_w + 4 * TN * 4 + tb * 4 + 4 * tb * 128 * 2
+    )
+    outs = 2 * tb * l_bins * 4 + tb * 128 * 4  # resident across row tiles
+    bits = TN * d8 * (1 if int8_q else 2)
+    temps = bits + tb * TN * 4 + W * TN * 5 + 2 * tb * W * 2 + tb * TN * 4
+    return inputs + outs + temps
+
+
+def fused_fits_vmem(dpad: int, direct: bool = False, int8_q: bool = False) -> bool:
+    """Whether the kernel's tile geometry fits the VMEM budget at this
+    plane width. At the defaults the EXACT (direct-plane) mode fits
+    through Dpad=2048 and falls back to the two-stage packed scan above
+    that (which fits through Dpad=3072 with bf16 queries and Dpad=4096
+    with int8 ones; past that engines downgrade to the dense XLA path) —
+    the budget gate behind ``_fused_exact_ok``/``_maybe_downgrade_fused``
+    on every engine (tests/test_highdim.py pins the thresholds)."""
+    return vmem_step_bytes(dpad, direct, int8_q) <= VMEM_BUDGET_BYTES
 
 
 def n_bins() -> int:

@@ -68,6 +68,16 @@ class SearchParams:
     picks ``max(4 * top_k, 400)`` — the CPU reference effectively
     re-ranks every candidate that beats the evolving heap bound, and recall
     is insensitive to the budget beyond a few hundred survivors.
+
+    NOTE: under the fused EXACT scan (the default on fused layouts with
+    total_bits <= 7, env ``RABITQ_FUSED_EXACT``) every probed row is
+    already scored at full precision in-kernel and there is no survivor
+    cut, so ``rerank`` is a no-op there — tuning it for recall only
+    affects the two-stage paths (``scan_dtype`` in f32/bf16/int8/packed,
+    or ``RABITQ_FUSED_EXACT=0``). The exact scan's residual loss channel
+    is a bin collision between two true top-k rows instead
+    (~top_k^2/2L odds with L=8192 bins — below measurement noise at the
+    bench operating points).
     """
 
     top_k: int

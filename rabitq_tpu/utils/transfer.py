@@ -47,7 +47,21 @@ def upload_dataset(data: np.ndarray, encoding: str = "auto", chunk_rows: int = 2
     import jax
     import jax.numpy as jnp
 
+    requested = encoding
     encoding = resolve_encoding(data, encoding)
+    if requested == "auto" and encoding != "f32":
+        # not silent: auto'd reduced-precision uploads mean the device
+        # contents (codes, centroids, saved files) are no longer
+        # bit-reproducible against an f32 build — measured recall-neutral
+        # (BENCHMARKS.md "Build upload encoding") but worth a line. Pass
+        # data_upload="f32" to the build config to force exact uploads.
+        from .logging import get_logger
+
+        get_logger("transfer").info(
+            "dataset upload auto-selected %s encoding (%.0f MB > %d MB "
+            "threshold); pass data_upload='f32' for bit-exact uploads",
+            encoding, data.nbytes / 1e6, _AUTO_THRESHOLD_BYTES // (1024 * 1024),
+        )
     n = data.shape[0]
     if n == 0:
         import jax.numpy as jnp
