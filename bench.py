@@ -183,10 +183,16 @@ def bench_mstg(data, queries, gt, args, block, ub, closure_eps=None):
 
     top_k = args.top_k
     cfg_kwargs = dict(
+        # rows/500 (-> ~2272 lists of mean ~440 rows at 1M) is the
+        # round-5 geometry winner: +0.026 recall AND +60% sustained QPS
+        # over the round-4 rows/250 default (BENCHMARKS.md "MSTG
+        # geometry"): lists near one TN=512 tile give the exact-scan
+        # kernel a probe union that compacts, and the finer partition
+        # needs only ef=8 for recall 0.976
         max_posting_size=(
             args.mstg_posting_size
             if args.mstg_posting_size
-            else max(args.rows // 250, 64)
+            else max(args.rows // 500, 64)
         ),
         faster_config=True,
         use_rotator=True,

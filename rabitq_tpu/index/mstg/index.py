@@ -810,6 +810,45 @@ class MstgIndex:
             )
         return out
 
+    def upload_queries(self, queries: np.ndarray):
+        """Device-resident query cache (IVF twin:
+        ``IvfRabitqIndex.upload_queries``): encode with the current
+        ``upload_dtype`` and upload ONCE; rerun ef/ε sweeps over the same
+        queries with ``batch_search_resident`` paying zero query bytes
+        per configuration."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise DimensionMismatch(self.dim, queries.shape[1])
+        b_total = queries.shape[0]
+        ub = _pad_pow2(b_total)
+        return (jax.device_put(self._encode_queries(queries, ub)), b_total, ub)
+
+    def batch_search_resident(
+        self, qcache, params: MstgSearchParams, batch_size: int = 256
+    ) -> list[list[SearchResult]]:
+        """``batch_search`` over an ``upload_queries`` handle — all
+        dispatches slice the resident superblock at traced offsets."""
+        if self.total_rows == 0:
+            raise EmptyIndex()
+        cur, b_total, ub = qcache
+        if params.top_k <= 0:
+            return [[] for _ in range(b_total)]
+        self._maybe_downgrade_fused()
+        dev = self.device
+        packed, fused_cblk = self._scan_planes(dev)
+        bs = _pad_pow2(min(batch_size, ub))
+        pending = [
+            self._dispatch_scan(
+                cur, params, dev, packed, fused_cblk,
+                offset=np.int32(off), sub_block=bs,
+            )
+            for off in range(0, b_total, bs)
+        ]
+        fetched = jax.device_get(pending)
+        ids = np.concatenate([f[0] for f in fetched])[:b_total]
+        dists = np.concatenate([f[1] for f in fetched])[:b_total]
+        return self._dedup_results(ids, dists, params.top_k)
+
     def batch_search_pipelined(
         self,
         queries: np.ndarray,

@@ -145,6 +145,37 @@ def test_cli_build_query_info(tmp_path, rng):
     assert out["recall"] >= 0.9, out
 
 
+@pytest.mark.slow
+def test_cli_sweep_writes_reference_csv_schema(tmp_path, rng):
+    """`rabitq_tpu sweep` end-to-end on tiny data: the CSV carries the
+    reference schema (examples/recall_qps_sweep.rs) and the recall
+    columns — computed from the device-RESIDENT query cache — are sane
+    for both engines."""
+    data = _data(rng, 400, 32)
+    queries = data[:8]
+    base = str(tmp_path / "base.fvecs")
+    qf = str(tmp_path / "q.fvecs")
+    gtf = str(tmp_path / "gt.ivecs")
+    write_fvecs(base, data)
+    write_fvecs(qf, queries)
+    d2 = ((data[None, :, :] - queries[:, None, :]) ** 2).sum(-1)
+    write_ivecs(gtf, np.argsort(d2, axis=1)[:, :10].astype(np.int32))
+    out_csv = str(tmp_path / "sweep.csv")
+    r = _run_cli(
+        "sweep", "--data", base, "--queries", qf, "--groundtruth", gtf,
+        "--method", "both", "--nlist", "8", "--nprobes", "8",
+        "--efs", "8", "--epsilons", "0.8", "--max-posting-size", "100",
+        "--k", "10", "--stream-reps", "1", "--output", out_csv,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = open(out_csv).read().strip().splitlines()
+    assert rows[0] == "method,config,recall_at_10,latency_ms,qps"
+    assert len(rows) == 3 and rows[1].startswith("IVF,") and rows[2].startswith("MSTG,")
+    for row in rows[1:]:
+        rec = float(row.rsplit(",", 3)[1])
+        assert rec >= 0.8, row
+
+
 def test_binding_batch_query_large_batch_pipelined(rng):
     """batch_query > 256 queries takes the pipelined serving loop in both
     bindings and returns exactly the small-path results."""

@@ -375,6 +375,27 @@ def test_reduced_precision_query_upload_recall(upload, rng):
     np.testing.assert_array_equal(ids_p, ids_lo)
 
 
+def test_resident_query_cache_matches_upload_paths(rng):
+    """upload_queries + batch_search_resident (queries uploaded once,
+    sweep configs re-dispatch from the resident block) returns exactly
+    what the per-call upload paths return, across params and encodings."""
+    data = _dataset(rng, 2000, 64)
+    index = IvfRabitqIndex.train(data, nlist=8, total_bits=7, seed=3)
+    queries = data[:70]  # not a pow2: exercises padding
+    for upload in ("f32", "int8"):
+        index.upload_dtype = upload
+        qc = index.upload_queries(queries)
+        for nprobe in (2, 8):
+            params = SearchParams(top_k=10, nprobe=nprobe)
+            ids_r, d_r = index.batch_search_resident(qc, params, batch_size=32)
+            ids_u, d_u = index.batch_search_arrays_pipelined(
+                queries, params, batch_size=32, upload_block=64
+            )
+            np.testing.assert_array_equal(ids_r, ids_u)
+            np.testing.assert_allclose(d_r, d_u, rtol=1e-6)
+    index.upload_dtype = "f32"
+
+
 @pytest.mark.parametrize("dim", [64, 63])  # odd dim: pad nibble ignored
 def test_int4_query_codec_round_trip(dim, rng):
     """pack_int4_queries (host) and make_fused_search's device decode are

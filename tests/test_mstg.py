@@ -533,6 +533,26 @@ def test_mstg_pipelined_and_upload_encodings(rng):
     index.upload_dtype = "f32"
 
 
+def test_mstg_resident_query_cache_matches_batch_search(rng):
+    """upload_queries + batch_search_resident == batch_search across
+    ef/ε configs (queries cross the link once for the whole sweep)."""
+    data = _data(rng)
+    index = MstgIndex.build(
+        data, MstgConfig(max_posting_size=200, faster_config=True), seed=3
+    )
+    queries = data[:70]
+    index.upload_dtype = "int8"
+    qc = index.upload_queries(queries)
+    for ef, eps in ((8, 0.6), (16, 0.8)):
+        params = MstgSearchParams(top_k=10, ef_search=ef, pruning_epsilon=eps)
+        got = index.batch_search_resident(qc, params, batch_size=32)
+        ref = index.batch_search(queries, params)
+        assert [[r.id for r in row] for row in got] == [
+            [r.id for r in row] for row in ref
+        ]
+    index.upload_dtype = "f32"
+
+
 def test_dedup_topk_device_matches_host_oracle(rng):
     """The on-device closure dedup (`MstgIndex._dedup_topk_device`, run
     inside the scan dispatch so the result fetch is [B, top_k]) keeps
