@@ -284,8 +284,10 @@ def cmd_sweep(args):
                     ef_search=ef, pruning_epsilon=eps, top_k=k, rerank=args.rerank
                 )
                 rec = _recall(index.batch_search_resident(qcache, params), gt, k)
+                # arrays variant: SearchResult materialization (~300k
+                # objects/rep at k=100) otherwise dominates the timing
                 qps = sustained_qps(
-                    lambda: index.batch_search_pipelined(
+                    lambda: index.batch_search_arrays_pipelined(
                         stream, params, batch_size=256, upload_block=1024
                     ),
                     stream.shape[0],

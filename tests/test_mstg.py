@@ -533,6 +533,61 @@ def test_mstg_pipelined_and_upload_encodings(rng):
     index.upload_dtype = "f32"
 
 
+def test_mstg_arrays_pipelined_matches_lists(rng):
+    """batch_search_arrays_pipelined (raw arrays, no SearchResult
+    materialization — the high-k serving path) returns exactly the
+    pipelined list results, on a replicated index so the device dedup
+    is in the loop."""
+    data = _data(rng)
+    index = MstgIndex.build(
+        data,
+        MstgConfig(max_posting_size=200, faster_config=True, closure_epsilon=0.5),
+        seed=3,
+    )
+    params = MstgSearchParams(top_k=10, ef_search=12, pruning_epsilon=0.8)
+    queries = data[:70]
+    ref = index.batch_search_pipelined(queries, params, batch_size=32)
+    ids, dists = index.batch_search_arrays_pipelined(
+        queries, params, batch_size=32
+    )
+    sign = 1.0  # L2: scores are the distances
+    for row_ref, row_ids, row_d in zip(ref, ids, dists):
+        got = [
+            (int(i), sign * float(dd))
+            for i, dd in zip(row_ids, row_d)
+            if i >= 0 and np.isfinite(dd)
+        ]
+        assert [r.id for r in row_ref] == [g[0] for g in got]
+        np.testing.assert_allclose(
+            [r.score for r in row_ref], [g[1] for g in got], rtol=1e-6
+        )
+
+
+def test_closure_rng_rule_structural_on_isotropic_blobs(rng):
+    """On isotropic blobs the closure RNG rule rejects every second
+    assignment at ANY epsilon: noise is orthogonal to centroid
+    differences, so dist^2(v, c_j) ~ dist^2(v, c_i) + dist^2(c_i, c_j)
+    exceeds the RNG bound. Midpoints of cross-cluster point pairs sit
+    BETWEEN centroids and pass the rule — the mechanism bench.py's
+    replicated variant uses (BENCHMARKS.md 'Closure replication')."""
+    from rabitq_tpu.index.mstg.closure import closure_assign
+
+    dim, per = 64, 50
+    centers = rng.standard_normal((8, dim)).astype(np.float32) * 1.0
+    blobs = np.concatenate(
+        [c + 0.3 * rng.standard_normal((per, dim)).astype(np.float32) for c in centers]
+    )
+    # isotropic: replication 1.0 even at a huge epsilon
+    lists = closure_assign(blobs, centers, epsilon=5.0, max_replicas=4)
+    assert sum(len(m) for m in lists) == len(blobs)
+    # midpoints between cluster pairs: replicated by construction
+    ia = rng.integers(0, per, 40)
+    ib = rng.integers(per, 2 * per, 40)
+    bridged = np.concatenate([blobs, 0.5 * (blobs[ia] + blobs[ib])])
+    lists_b = closure_assign(bridged, centers, epsilon=0.9, max_replicas=4)
+    assert sum(len(m) for m in lists_b) > len(bridged)
+
+
 def test_mstg_resident_query_cache_matches_batch_search(rng):
     """upload_queries + batch_search_resident == batch_search across
     ef/ε configs (queries cross the link once for the whole sweep)."""
