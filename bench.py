@@ -236,6 +236,11 @@ def bench_mstg(data, queries, gt, args, block, ub, closure_eps=None):
             break
         mp = MstgSearchParams(top_k=top_k, ef_search=ef, pruning_epsilon=0.6)
         ids = mstg_run(mp)  # warm-up + recall
+        # dedup invariant at scale: a replicated row reached through two
+        # probed home lists must appear once in the extraction
+        srt = np.sort(ids, axis=1)
+        dup = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)
+        assert not dup.any(), f"duplicate ids in {int(dup.any(1).sum())} rows"
         m_rec = recall_at_k(ids, gt)
         t0 = time.time()
         for _ in range(3):
@@ -303,7 +308,7 @@ def main():
     )
     ap.add_argument(
         "--mstg-posting-size", type=int, default=None,
-        help="MSTG max_posting_size (default: rows/250). Smaller lists "
+        help="MSTG max_posting_size (default: rows/500). Smaller lists "
         "give the exact-scan kernel finer probe granularity — see "
         "BENCHMARKS.md round-5 MSTG geometry",
     )
@@ -316,10 +321,12 @@ def main():
     )
     ap.add_argument(
         "--mstg-bridge-frac", type=float, default=0.10,
-        help="fraction of rows replaced by midpoints of random row "
-        "pairs in the replicated MSTG variant — midpoints sit between "
-        "centroids and pass the closure RNG rule, producing real "
-        "replication (~1 + frac) so the dedup stack runs at scale",
+        help="fraction of rows replaced by small-residual midpoints of "
+        "blob-CENTER pairs in the replicated MSTG variant — these pass "
+        "the closure RNG rule by construction (midpoints of random ROWS "
+        "do not: at 960-d the row noise dominates the center "
+        "separation), producing real replication (~1 + frac) so the "
+        "closure+dedup stack runs at scale",
     )
     ap.add_argument("--small", action="store_true", help="tiny smoke-test config")
     ap.add_argument("--scan-dtype", default="fused8",
@@ -498,32 +505,55 @@ def main():
             # multi-assignment + device dedup stack — a headline
             # reference capability (mstg/closure.rs) — was invisible to
             # every committed TPU number. Raising closure_epsilon alone
-            # CANNOT fix that on this workload: on isotropic blobs the
-            # noise is orthogonal to every centroid difference, so
-            # dist^2(v, c_j) ~= dist^2(v, c_i) + dist^2(c_i, c_j) > the
-            # RNG-rule bound for every second candidate — replication is
-            # structurally 1.0 at ANY epsilon (BENCHMARKS.md "Closure
-            # replication"). Real datasets replicate because points lie
-            # BETWEEN centroids (manifold structure); emulate that by
-            # replacing a fraction of rows with midpoints of random row
-            # pairs — midpoints pass the RNG rule by construction. The
-            # variant carries its own groundtruth, recall and QPS.
+            # CANNOT fix that on this workload, and neither can midpoints
+            # of random ROWS: at 960-d the per-row noise norm (~77 at
+            # sigma=2.5) dominates the blob-center separation (~44), so a
+            # row midpoint is still noise-dominated and the RNG rule
+            # rejects its second assignment — replication stays 1.0
+            # (measured; BENCHMARKS.md "Closure replication"). Real
+            # datasets replicate because points lie between centroids
+            # with SMALL residuals (manifold structure). Emulate exactly
+            # that: bridge rows at midpoints of blob-CENTER pairs plus a
+            # small residual — dist^2(v, c2) ~= s^2/4 < s^2 =
+            # dist^2(c1, c2) passes the RNG rule by construction, and a
+            # third center sits outside the (1+eps) threshold. Half the
+            # variant's queries are drawn at midpoints of the SAME
+            # bridge pairs, so both home lists of a bridge are probed
+            # together and the on-device dedup path fires on (nearly)
+            # every such query, with recall@k checking its correctness.
             rngb = np.random.default_rng(99)
             keep = args.rows - m_bridge
-            ia = rngb.integers(0, keep, m_bridge)
-            ib = rngb.integers(0, keep, m_bridge)
-            bridges = 0.5 * (
-                np.asarray(data[ia], np.float32) + np.asarray(data[ib], np.float32)
+            n_centers = max(args.nlist // 2, 8)
+            # the workload's generating centers: the first draw of rng(7)
+            # in make_workload (reproduced here so the cached dataset
+            # needn't carry them)
+            centers = (
+                np.random.default_rng(7)
+                .standard_normal((n_centers, args.dim))
+                .astype(np.float32)
             )
+            pa = rngb.integers(0, n_centers, m_bridge)
+            pb = (pa + 1 + rngb.integers(0, n_centers - 1, m_bridge)) % n_centers
+            bridges = 0.5 * (centers[pa] + centers[pb]) + 0.3 * rngb.standard_normal(
+                (m_bridge, args.dim)
+            ).astype(np.float32)
             data_v = np.ascontiguousarray(
                 np.concatenate([data[:keep], bridges]), np.float32
             )
+            queries_v = np.array(queries, np.float32, copy=True)
+            qm = queries_v.shape[0] // 2
+            qsel = rngb.integers(0, m_bridge, queries_v.shape[0] - qm)
+            queries_v[qm:] = 0.5 * (
+                centers[pa[qsel]] + centers[pb[qsel]]
+            ) + 0.3 * rngb.standard_normal(
+                (queries_v.shape[0] - qm, args.dim)
+            ).astype(np.float32)
             gt_v = load_or_make_groundtruth(
-                data_v, queries, args.rows, args.dim, args.nlist,
-                args.top_k, variant=f"-bridge{m_bridge}",
+                data_v, queries_v, args.rows, args.dim, args.nlist,
+                args.top_k, variant=f"-cbridge{m_bridge}",
             )
             extra["mstg"]["replicated_variant"] = bench_mstg(
-                data_v, queries, gt_v, args, block, ub,
+                data_v, queries_v, gt_v, args, block, ub,
                 closure_eps=args.mstg_replication_eps,
             )
             extra["mstg"]["replicated_variant"]["bridge_rows"] = m_bridge

@@ -284,6 +284,13 @@ def _kmeans_device(
             data, centroids, k, block, n_valid, spherical, assign_dtype
         )
         iters = i + 1
+        if timings is not None and i == 0:
+            # split the first dispatch out of lloyd_s: it carries the
+            # program compile when the persistent cache misses (a cold
+            # tunnel compile is minutes — without this split it reads as
+            # a slow algorithm in the bench build_breakdown)
+            centroids.block_until_ready()
+            timings["lloyd_first_s"] = round(_time.perf_counter() - t0, 2)
         if tol <= 0.0:
             continue
         if pending is not None:
