@@ -358,6 +358,20 @@ def main():
 
     log(f"devices: {jax.devices()}")
     from rabitq_tpu import IvfRabitqIndex, Metric, RotatorType, SearchParams
+    from rabitq_tpu.utils.transfer import warm_session
+
+    # Pay the tunnel's per-process session cost (first device_get stalls
+    # 20-200 s) on a background thread, overlapped with the host-side
+    # workload/groundtruth loads below — otherwise it lands inside the
+    # first build phase that syncs and reads as slow k-means
+    # (BENCHMARKS.md "The async-put illusion").
+    import threading
+
+    warmup: dict = {}
+    warm_thread = threading.Thread(
+        target=lambda: warmup.__setitem__("s", warm_session()), daemon=True
+    )
+    warm_thread.start()
 
     rng = np.random.default_rng(7)
     log(f"generating {args.rows}x{args.dim} dataset ...")
@@ -371,6 +385,9 @@ def main():
     gt = load_or_make_groundtruth(
         data, queries, args.rows, args.dim, args.nlist, args.top_k
     )
+
+    warm_thread.join()
+    log(f"session warmup: {warmup.get('s')}s (overlapped with workload load)")
 
     log(f"building index (scan_dtype={args.scan_dtype}) ...")
     t0 = time.time()
@@ -484,6 +501,9 @@ def main():
     best_dtype = args.scan_dtype
     extra = {
         "build_seconds": round(build_s, 1),
+        # per-process tunnel session setup, paid overlapped with the
+        # host-side workload load (NOT part of any build/serve phase)
+        "session_warmup_s": warmup.get("s"),
         # phase decomposition so session variance (tunnel bandwidth /
         # compile-cache state) is visible IN the artifact: upload seconds
         # + encoding + observed MB/s, k-means, quantize (ivf.py train)

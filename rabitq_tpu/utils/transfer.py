@@ -28,6 +28,29 @@ import numpy as np
 _AUTO_THRESHOLD_BYTES = 512 * 1024 * 1024
 
 
+def warm_session() -> float:
+    """Pay the tunnel's per-process session cost; returns seconds spent.
+
+    The first real device sync (a ``device_get``) in a fresh process
+    stalls 20-200 s on the remote-TPU tunnel — per-client session setup,
+    worst right after another client exits (measured,
+    ``tools/upload_drain_probe.py``; BENCHMARKS.md "The async-put
+    illusion"). Until that first sync, ``device_put`` and
+    ``block_until_ready`` return while work is still streaming, so
+    client-side timings are buffered-write illusions. Call this once
+    before timed device work — ideally on a background thread overlapped
+    with host-side setup (bench.py does) — so the cost lands in an
+    explicit ``session_warmup_s`` instead of silently inflating the
+    first build phase that happens to sync.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    jax.device_get(jnp.zeros((8, 128), jnp.float32).sum())
+    return round(time.time() - t0, 2)
+
+
 def resolve_encoding(data: np.ndarray, encoding: str = "auto") -> str:
     if encoding == "auto":
         return "bf16" if data.nbytes > _AUTO_THRESHOLD_BYTES else "f32"
@@ -96,6 +119,13 @@ def upload_dataset(data: np.ndarray, encoding: str = "auto", chunk_rows: int = 2
         dec = parts
     data_dev = dec[0] if len(dec) == 1 else jnp.concatenate(dec, axis=0)
     data_dev.block_until_ready()
+    # block_until_ready on the remote tunnel can return while the puts
+    # are still streaming (client-side buffering): a scalar device_get
+    # serializes behind every queued put, so the reported seconds are the
+    # TRUE transfer time and the residue doesn't leak into the caller's
+    # next sync (rounds 4-5 misattributed it as k-means Lloyd time —
+    # BENCHMARKS.md "The async-put illusion").
+    jax.device_get(data_dev[-1, -1])
     dt = time.time() - t0
     report = {
         "encoding": encoding,
