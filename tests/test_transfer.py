@@ -93,3 +93,15 @@ def test_train_small_recall_unchanged_bf16():
     assert overlap >= 0.9
     assert a.build_report["upload"]["encoding"] == "f32"
     assert b.build_report["upload"]["encoding"] == "bf16"
+
+
+def test_warm_session_returns_seconds():
+    """warm_session pays the first-sync cost and reports it; on CPU it is
+    effectively instant but must return a non-negative float (bench.py
+    records it as session_warmup_s in the artifact)."""
+    from rabitq_tpu.utils.transfer import warm_session
+
+    s = warm_session()
+    assert isinstance(s, float) and s >= 0.0
+    # second call is warm and cheap
+    assert warm_session() < 5.0
